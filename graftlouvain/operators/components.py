@@ -1,0 +1,108 @@
+"""Connected components (SURVEY.md §2h — [north-star]).
+
+Primary: synchronous min-label propagation to fixpoint — exact min-id labels,
+one join + one groupBy(min) shuffle per superstep, O(diameter) supersteps.
+Link graphs (power-law) have effective diameter ~10-20, so this is the right
+default even at 10^12 edges; the alternating large-star/small-star algorithm
+(Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") is
+provided as ``components_star`` for adversarially high-diameter graphs —
+O(log² V) rounds, same exact output (min id per component).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graftlouvain.operators.graph import LinkGraph
+
+
+def components(graph: LinkGraph, max_iter: int = 200) -> DataFrame:
+    """Returns [id, component] with component = min vertex id reachable."""
+    labels = graph.vertices.select("id", F.col("id").alias("component")).localCheckpoint(True)
+    for _i in range(max_iter):
+        nbr_min = (
+            graph.edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("component").alias("c")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("c").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("component", F.coalesce("nbr_min", "component")).alias("component"),
+            )
+            .localCheckpoint(True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def components_star(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
+    """Alternating large-star / small-star (Kiveris et al. 2014). Works on the
+    undirected pair set; converges when the edge set is a star forest, i.e.
+    every node points to its component minimum. Exact same output contract as
+    :func:`components`."""
+    # undirected unique pairs with u != v
+    edges = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(True)
+    )
+    for _i in range(max_iter):
+        # large-star: for each node n over BOTH directions, m = min(nbrs ∪ n);
+        # emit (v, m) for strictly-larger neighbors v > n.
+        both = edges.select(F.col("u").alias("n"), F.col("v").alias("x")).unionByName(
+            edges.select(F.col("v").alias("n"), F.col("u").alias("x"))
+        )
+        mins = both.groupBy("n").agg(F.min("x").alias("mn"))
+        mins = mins.select("n", F.least("n", "mn").alias("m"))
+        large = (
+            both.join(mins, "n")
+            .where(F.col("x") > F.col("n"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: neighbors ≤ n (and n itself) all point to the minimum.
+        small_nbrs = both.where(F.col("x") < F.col("n"))
+        smins = small_nbrs.groupBy("n").agg(F.min("x").alias("m"))
+        small = (
+            small_nbrs.join(smins, "n")
+            .where(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("n").alias("u"), F.col("m").alias("v")))
+        )
+        new_edges = (
+            large.unionByName(small)
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .select(F.col("v").alias("u"), F.col("u").alias("v"))  # u = min end
+            .distinct()
+            .localCheckpoint(True)
+        )
+        # converged when edge set stable
+        if (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(new_edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    # edges now (min_end=u? ensure orientation): rows are (u=small, v=large)
+    parents = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    return (
+        graph.vertices.join(parents, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )

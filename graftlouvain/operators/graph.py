@@ -1,0 +1,198 @@
+"""LinkGraph — the engine's graph core (SURVEY.md §2b/§2c, operators G1-G8 + A1-A6).
+
+Reference semantics re-expressed Spark-first:
+
+- G4 symmetrization + self-loop rule (/root/reference/src/louvain/graph.rs:263-325):
+  every src!=dst edge is mirrored; self-loops are kept single-direction
+  (graph.rs:282-286). Here: ``union`` of the reversed non-self-loop rows.
+- duplicate (src,dst) pairs are pre-aggregated with ``groupBy.sum`` — the
+  reference keeps duplicates in CSR and sums implicitly wherever weights are
+  consumed (graph.rs:396-400), so downstream semantics are identical.
+- G5 edge shuffle to block owners (graph.rs:343-374) is one hash
+  ``repartition(P, "src")``; G2/G3 block ownership (graph.rs:76-134) dissolves
+  into Spark's hash partitioner.
+- G1/G7 global counts (graph.rs:226-261, 188-196) are plain aggregations.
+- A1 weighted_degree (graph.rs:396-400) is one materialized ``degrees`` table,
+  never a per-vertex call.
+
+Scale notes (100 TB / 1000 executors): the symmetrize+aggregate pipeline is a
+single shuffle on (src,dst) with map-side partial aggregation; the follow-up
+``repartition(P, "src")`` co-locates adjacency for every later superstep join
+so Louvain/PageRank/CC/LPA supersteps shuffle only their *small* state tables.
+Hub skew in the degree aggregation is handled by map-side combine (hash
+aggregate); the join side of skew is covered by AQE skew-join (enabled in
+session.py) plus the optional salted two-stage aggregation in
+``graftlouvain.functions.skew``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graftlouvain.schemas import conform_edges
+
+
+@dataclass
+class GraphStats:
+    """Cached scalar stats (reference A6 accessors, graph.rs:218-221, 377-394)."""
+
+    num_vertices: int  # countDistinct of vertex ids (non-isolated)
+    max_id: int  # reference global_vcount = max_id + 1 (graph.rs:226-261)
+    num_directed_edges: int  # rows of the symmetrized, pair-aggregated table (ref global_ecount)
+    total_weight: float  # S = Σ sym weights = Σ degrees = textbook 2m
+
+
+@dataclass
+class LinkGraph:
+    """A weighted undirected graph materialized as a symmetrized edge DataFrame.
+
+    ``edges``   — [src, dst, weight], symmetrized, (src,dst)-aggregated,
+                  hash-partitioned on ``src``, cached.
+    ``degrees`` — [id, degree], degree = Σ outgoing weight on the symmetrized
+                  table (self-loop weight counted once, matching
+                  graph.rs:396-400 over the reference CSR).
+    ``vertices``— [id], every vertex incident to at least one edge.
+    """
+
+    edges: DataFrame
+    degrees: DataFrame
+    vertices: DataFrame
+    stats: GraphStats
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_edges(
+        cls,
+        raw_edges: DataFrame,
+        num_partitions: int | None = None,
+        pre_symmetrized: bool = False,
+        cache: bool = True,
+    ) -> "LinkGraph":
+        """Build the canonical graph from any (src, dst[, weight]) DataFrame.
+
+        Equivalent of ``DistributedGraph::from_distributed`` (graph.rs:174-215):
+        one shuffle replaces partition_edges_by_rank + all_to_all_varcount +
+        local sort. ``pre_symmetrized=True`` skips the mirror union (used for
+        coarsened graphs, whose edge tables are symmetric by construction).
+        """
+        e = conform_edges(raw_edges)
+        if pre_symmetrized:
+            sym = e
+        else:
+            mirrored = e.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight")
+            )
+            sym = e.unionByName(mirrored)
+        agg = sym.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+        if num_partitions:
+            agg = agg.repartition(num_partitions, "src")
+        else:
+            agg = agg.repartition("src")
+        if cache:
+            agg = agg.cache()
+
+        degrees = agg.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("degree"))
+        if cache:
+            degrees = degrees.cache()
+        vertices = degrees.select("id")
+
+        row = agg.agg(
+            F.count(F.lit(1)).alias("ecount"),
+            F.sum("weight").alias("total_weight"),
+            F.max(F.greatest("src", "dst")).alias("max_id"),
+            F.count_distinct("src").alias("vcount"),
+        ).first()
+        stats = GraphStats(
+            num_vertices=int(row["vcount"] or 0),
+            max_id=int(row["max_id"]) if row["max_id"] is not None else -1,
+            num_directed_edges=int(row["ecount"]),
+            total_weight=float(row["total_weight"] or 0.0),
+        )
+        return cls(edges=agg, degrees=degrees, vertices=vertices, stats=stats)
+
+    # -- accessors (SURVEY §2c) -------------------------------------------
+
+    @property
+    def ref_global_vcount(self) -> int:
+        """Reference convention: max id + 1 (dense ids assumed, graph.rs:226-261)."""
+        return self.stats.max_id + 1
+
+    @property
+    def ref_global_ecount(self) -> int:
+        """Rows of the symmetrized table — equals the reference's all-reduced
+        post-symmetrization local counts (graph.rs:188-196) when the input has
+        no duplicate pairs (true for every reference fixture)."""
+        return self.stats.num_directed_edges
+
+    @property
+    def two_m(self) -> float:
+        """Textbook 2m = Σ degrees = Σ symmetrized weights."""
+        return self.stats.total_weight
+
+    def neighbors_of(self, vertex_id: int) -> DataFrame:
+        """A2 neighbors(v) (graph.rs:402-407) — test/debug helper only; hot
+        paths always join the whole edge table instead."""
+        return self.edges.where(F.col("src") == F.lit(vertex_id)).select("dst", "weight")
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        self.degrees.unpersist()
+
+
+def singleton_assignments(graph: LinkGraph) -> DataFrame:
+    """C1 state init (communitystate.rs:72-92): one community per vertex,
+    community id = vertex id."""
+    return graph.vertices.select(F.col("id"), F.col("id").alias("community"))
+
+
+def community_stats(graph: LinkGraph, assignments: DataFrame) -> DataFrame:
+    """C8 full recompute of community {internal_weight, total_weight}
+    (replaces the reference's ±delta maintenance, communitystate.rs:96-132).
+
+    internal_weight = Σ weight of symmetrized edges with both endpoints in the
+    community (each undirected intra-edge counted twice, self-loops once) —
+    exactly the reference's ``in += 2·w`` bookkeeping (communitystate.rs:104).
+    total_weight = Σ member degrees.
+    """
+    asg_src = assignments.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
+    asg_dst = assignments.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
+    internal = (
+        graph.edges.join(asg_src, "src")
+        .join(asg_dst, "dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.sum("weight").alias("internal_weight"))
+    )
+    totals = (
+        assignments.join(graph.degrees, "id")
+        .groupBy("community")
+        .agg(F.sum("degree").alias("total_weight"))
+    )
+    return totals.join(internal, "community", "left").select(
+        "community",
+        F.coalesce("internal_weight", F.lit(0.0)).alias("internal_weight"),
+        "total_weight",
+    )
+
+
+def dense_ids(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Assign deterministic dense long ids 0..N-1 to the distinct keys of
+    ``df[key_cols]``, ordered lexicographically by the key columns.
+
+    The reference requires dense ids for its block partitioner
+    (graph.rs:76-90); our algorithms accept arbitrary longs, but dense ids
+    keep corpus-derived graphs compact and labels reproducible. Implemented as
+    a total sort + ``zipWithIndex`` — the scalable (terasort-style) dense-rank,
+    avoiding the single-partition global window. Deterministic because the
+    rank is a pure function of the global sort order, not of partition
+    boundaries.
+    """
+    distinct = df.select(*key_cols).distinct().orderBy(*key_cols)
+    spark = df.sparkSession
+    rdd = distinct.rdd.zipWithIndex().map(lambda pair: (*tuple(pair[0]), pair[1]))
+    schema = distinct.schema.add("id", "long", False)
+    return spark.createDataFrame(rdd, schema)

@@ -1,0 +1,307 @@
+"""Multi-level Louvain as bulk-synchronous DataFrame supersteps (SURVEY.md §2d/§2e).
+
+The reference's per-vertex move phase is a literal ``todo!()``
+(/root/reference/src/louvain/communities.rs:74); its semantics are
+reconstructed from the implemented state machine (communitystate.rs:96-132)
+plus Blondel et al. 2008. The reference synchronizes after EVERY vertex
+(communities.rs:68-120, MPI tag exchanges); we deliberately switch to
+whole-graph synchronous supersteps — all vertices propose moves against
+superstep-start state, gated moves applied at once — the documented
+replacement (BASELINE.json north_star: "bulk-synchronous supersteps"). The
+in-repo sequential oracle (graftlouvain.oracle.louvain_seq) implements the
+SAME synchronous variant, so labels match exactly.
+
+Move rule (derivation in docstring of :func:`_superstep`): for vertex i with
+degree k_i in community A, candidate community C (including A), with
+tot'_C = tot_C − k_i·[C==A]:
+
+    score(C) = k_{i→C} − tot'_C · k_i / S          (S = Σ degrees = 2m)
+
+argmax over C ties broken by smallest community id; i moves iff
+score(best) > score(A) + gain_eps AND the oscillation gate passes:
+on even supersteps only moves to a SMALLER community id are applied, on odd
+supersteps only to a LARGER one (deterministic swap-cycle breaker — the
+standard "minimum labeling" family of heuristics for parallel Louvain, cf. Lu,
+Halappanavar & Kalyanaraman 2015). ΔQ of an applied move is
+2·(score(C) − score(A))/S > 0, so every superstep strictly increases Q of each
+moved vertex against frozen state.
+
+Shuffle budget per superstep (the whole MPI message layer of the reference,
+messagemanager.rs, dissolves into these): one groupBy(src, nbr_comm), one join
+on nbr_comm (community totals), one window on src. Assignments/degrees stay
+hash-partitioned on vertex id (session-level partition count) so edge-side
+joins are co-partitioned.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graftlouvain.operators.graph import LinkGraph, community_stats, singleton_assignments
+
+
+def modularity(
+    graph: LinkGraph, assignments: DataFrame, reference_convention: bool = False
+) -> float:
+    """L5/L6 modularity (communities.rs:43-59 + all_reduce at graph.rs:504-512).
+
+    Textbook: Q = Σ_C [ in_C/S − (tot_C/S)² ] with S = 2m = Σ degrees.
+    ``reference_convention=True`` reproduces the reference's normalizer
+    m2 = 2·global_ecount (communities.rs:45) — for unit-weight graphs that is
+    2S, giving Q₀ = −1/56 on the 28-edge fixture instead of textbook −1/14.
+    The argmax of Louvain is scale-invariant to this constant (SURVEY.md
+    preamble), so labels are unaffected either way.
+    """
+    stats = community_stats(graph, assignments)
+    s = 2.0 * graph.two_m if reference_convention else graph.two_m
+    if s == 0:
+        return 0.0
+    row = (
+        stats.where(F.col("total_weight") > 0)
+        .agg(
+            F.sum(
+                F.col("internal_weight") / F.lit(s)
+                - F.pow(F.col("total_weight") / F.lit(s), F.lit(2.0))
+            ).alias("q")
+        )
+        .first()
+    )
+    return float(row["q"] or 0.0)
+
+
+def _superstep(
+    graph: LinkGraph,
+    assignments: DataFrame,
+    step: int,
+    gain_eps: float,
+) -> tuple[DataFrame, int]:
+    """One synchronous local-move superstep (L2/L3 — the reference's
+    unimplemented move phase, communities.rs:68-83, reconstructed).
+
+    Derivation of the score: moving i (already removed from its community)
+    into C changes Q by [2·k_{i→C} + self_i]/S − (2·tot'_C·k_i + k_i²)/S².
+    The terms self_i/S and k_i²/S² are constant across C, so
+    argmax ΔQ == argmax [k_{i→C} − tot'_C·k_i/S]. Self-loop edges are
+    excluded from k_{i→C} (constant too); the reference's
+    ``neighboring_communities`` likewise never adds the self-loop target with
+    special weight (communitystate.rs:147-163).
+    """
+    S = graph.two_m
+    # C4 — THE central superstep join (communitystate.rs:147-163):
+    # weights from each vertex to each neighboring community.
+    nbr = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .join(
+            assignments.select(
+                F.col("id").alias("dst"), F.col("community").alias("nbr_comm")
+            ),
+            "dst",
+        )
+        .groupBy("src", "nbr_comm")
+        .agg(F.sum("weight").alias("k_ic"))
+    )
+    # Guarantee the vertex's own community is always a candidate (k=0 if no
+    # neighbors there) so "stay" has a defined score.
+    own = assignments.select(
+        F.col("id").alias("src"),
+        F.col("community").alias("nbr_comm"),
+        F.lit(0.0).alias("k_ic"),
+    )
+    cand = nbr.unionByName(own).groupBy("src", "nbr_comm").agg(F.sum("k_ic").alias("k_ic"))
+
+    # Community totals (tot_C = Σ member degrees), recomputed per superstep —
+    # replaces the reference's delta maintenance (communitystate.rs:96-132).
+    tot = (
+        assignments.join(graph.degrees, "id")
+        .groupBy(F.col("community").alias("nbr_comm"))
+        .agg(F.sum("degree").alias("tot"))
+    )
+
+    cur = assignments.select(F.col("id").alias("src"), F.col("community").alias("cur_comm"))
+    deg = graph.degrees.select(F.col("id").alias("src"), F.col("degree").alias("k_i"))
+
+    scored = (
+        cand.join(tot, "nbr_comm")
+        .join(cur, "src")
+        .join(deg, "src")
+        .withColumn(
+            "score",
+            F.col("k_ic")
+            - (
+                F.col("tot")
+                - F.when(F.col("nbr_comm") == F.col("cur_comm"), F.col("k_i")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            * F.col("k_i")
+            / F.lit(S),
+        )
+    )
+
+    w_rank = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("nbr_comm"))
+    w_all = Window.partitionBy("src")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn(
+            "stay_score",
+            F.max(
+                F.when(F.col("nbr_comm") == F.col("cur_comm"), F.col("score"))
+            ).over(w_all),
+        )
+        .where(F.col("rn") == 1)
+    )
+
+    direction = (
+        (F.col("nbr_comm") < F.col("cur_comm"))
+        if step % 2 == 0
+        else (F.col("nbr_comm") > F.col("cur_comm"))
+    )
+    moves = best.where(
+        (F.col("nbr_comm") != F.col("cur_comm"))
+        & (F.col("score") > F.col("stay_score") + F.lit(gain_eps))
+        & direction
+    ).select(F.col("src").alias("id"), F.col("nbr_comm").alias("new_comm"))
+
+    new_asg = (
+        assignments.join(moves, "id", "left")
+        .select(
+            "id", F.coalesce("new_comm", "community").cast("long").alias("community")
+        )
+    )
+    # Cut lineage every superstep — the iterative-plan-explosion guard
+    # (replaces the reference's buffer reuse, messagemanager.rs:328-393).
+    new_asg = new_asg.localCheckpoint(eager=True)
+    n_moves = moves.count()
+    return new_asg, n_moves
+
+
+@dataclass
+class LevelStats:
+    level: int
+    supersteps: int = 0
+    moves: list = field(default_factory=list)
+    wall_ms: list = field(default_factory=list)
+    modularity: float = float("nan")
+
+
+def louvain_level(
+    graph: LinkGraph,
+    assignments: DataFrame | None = None,
+    max_supersteps: int = 64,
+    gain_eps: float = 1e-12,
+    level: int = 0,
+    checkpointer=None,
+) -> tuple[DataFrame, LevelStats]:
+    """L1 one_level (communities.rs:36-41): supersteps until a full even+odd
+    pair produces zero moves (both parities of the oscillation gate must be
+    quiescent) or ``max_supersteps``."""
+    asg = assignments if assignments is not None else singleton_assignments(graph)
+    asg = asg.localCheckpoint(eager=True)
+    stats = LevelStats(level=level)
+    zero_streak = 0
+    for step in range(max_supersteps):
+        t0 = time.monotonic()
+        asg, n_moves = _superstep(graph, asg, step, gain_eps)
+        wall = int((time.monotonic() - t0) * 1000)
+        stats.supersteps += 1
+        stats.moves.append(n_moves)
+        stats.wall_ms.append(wall)
+        if checkpointer is not None:
+            checkpointer.save_superstep(
+                algorithm="louvain", level=level, superstep=step, assignments=asg,
+                moves=n_moves, wall_ms=wall,
+            )
+        zero_streak = zero_streak + 1 if n_moves == 0 else 0
+        if zero_streak >= 2:
+            break
+    return asg, stats
+
+
+def coarsen(graph: LinkGraph, assignments: DataFrame) -> LinkGraph:
+    """L7 graph coarsening by community aggregation (north-star; no reference
+    code). Communities become vertices (keeping their community ids — density
+    is not required by any downstream operator); edge weights sum between
+    communities; intra-community weight lands on the (C,C) self-loop, which the
+    symmetric fine table already counts twice, preserving Q exactly:
+    Q(coarse, singleton) == Q(fine, assignments)."""
+    asg_src = assignments.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
+    asg_dst = assignments.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
+    coarse_edges = (
+        graph.edges.join(asg_src, "src")
+        .join(asg_dst, "dst")
+        .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+    )
+    return LinkGraph.from_edges(coarse_edges, pre_symmetrized=True)
+
+
+@dataclass
+class LouvainResult:
+    assignments: DataFrame  # [id, community] over ORIGINAL vertex ids
+    modularity: float
+    levels: list  # list[LevelStats]
+    num_communities: int
+
+
+def louvain(
+    graph: LinkGraph,
+    max_levels: int = 20,
+    max_supersteps: int = 64,
+    gain_eps: float = 1e-12,
+    min_q_gain: float = 1e-7,
+    checkpointer=None,
+) -> LouvainResult:
+    """Full multi-level Louvain: local-move level → coarsen → repeat until the
+    level's modularity gain < ``min_q_gain``. Final labels are unwound to
+    original vertex ids by joining through each level's assignment map."""
+    global_asg = singleton_assignments(graph)
+    cur = graph
+    level_stats: list[LevelStats] = []
+    q_prev = modularity(cur, singleton_assignments(cur))
+    q = q_prev
+    for level in range(max_levels):
+        asg, stats = louvain_level(
+            cur, max_supersteps=max_supersteps, gain_eps=gain_eps, level=level,
+            checkpointer=checkpointer,
+        )
+        q = modularity(cur, asg)
+        stats.modularity = q
+        level_stats.append(stats)
+        # Unwind: global community ids are the current level's vertex ids.
+        global_asg = (
+            global_asg.join(
+                asg.select(
+                    F.col("id").alias("community"), F.col("community").alias("_new")
+                ),
+                "community",
+            )
+            .select("id", F.col("_new").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        if checkpointer is not None:
+            checkpointer.save_level(
+                algorithm="louvain", level=level, assignments=global_asg,
+                degrees=cur.degrees, coarse_edges=None, modularity=q,
+            )
+        if q - q_prev < min_q_gain:
+            break
+        q_prev = q
+        nxt = coarsen(cur, asg)
+        if cur is not graph:
+            cur.unpersist()
+        cur = nxt
+        if checkpointer is not None:
+            checkpointer.save_level(
+                algorithm="louvain_coarse", level=level + 1, assignments=None,
+                degrees=cur.degrees, coarse_edges=cur.edges, modularity=q,
+            )
+        if cur.stats.num_vertices <= 1:
+            break
+    n_comm = global_asg.select("community").distinct().count()
+    return LouvainResult(
+        assignments=global_asg, modularity=q, levels=level_stats, num_communities=n_comm
+    )

@@ -1,0 +1,72 @@
+"""Weighted PageRank over a LinkGraph (SURVEY.md §2h — [north-star], no
+reference code; semantics from Brin & Page 1998 / the standard power
+iteration).
+
+r_{t+1}(v) = (1−α)/V + α · ( Σ_{u→v} r_t(u)·w(u,v)/outw(u) + dangling_t/V )
+
+On a symmetrized LinkGraph every vertex with an edge has out-weight > 0, so
+dangling mass is zero; the term is kept for generality (directed callers).
+
+Scale: per iteration one join (ranks ⋈ edges, co-partitioned on src because
+LinkGraph.edges is hash-partitioned on src and ranks are repartitioned
+likewise once) + one groupBy(dst) shuffle. Convergence tested by an L1-delta
+aggregation; lineage cut via localCheckpoint per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graftlouvain.operators.graph import LinkGraph
+
+
+def pagerank(
+    graph: LinkGraph,
+    alpha: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 100,
+    n_iter: int | None = None,
+) -> DataFrame:
+    """Returns [id, rank]. ``n_iter`` forces exactly that many iterations
+    (no convergence test) — used by the fixed-iteration SQL oracle."""
+    V = graph.stats.num_vertices
+    if V == 0:
+        return graph.vertices.select("id", F.lit(0.0).alias("rank"))
+    out_w = graph.degrees.select(F.col("id").alias("src"), F.col("degree").alias("out_w"))
+    # pre-divide edge weights once: share(u,v) = w/outw(u)
+    shares = (
+        graph.edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share"))
+        .cache()
+    )
+    ranks = graph.vertices.select("id", F.lit(1.0 / V).alias("rank")).localCheckpoint(True)
+    base = (1.0 - alpha) / V
+    iters = n_iter if n_iter is not None else max_iter
+    for _i in range(iters):
+        contrib = (
+            shares.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
+        )
+        new_ranks = (
+            graph.vertices.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(True)
+        )
+        if n_iter is None:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    shares.unpersist()
+    return ranks

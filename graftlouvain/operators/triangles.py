@@ -1,0 +1,60 @@
+"""Triangle counting (SURVEY.md §2h — [north-star]; standard degree-ordered
+edge-orientation algorithm, cf. Suri & Vassilvitskii 2011 "Counting Triangles
+and the Curse of the Last Reducer").
+
+Edges are oriented from the lower (degree, id) endpoint to the higher one —
+the key trick that bounds wedge fan-out by O(sqrt(E)) per vertex and defuses
+hub skew: a hub's wedges are only built over its FEW higher-degree neighbors.
+Triangles = oriented wedges (a→b, b→c) closed by oriented edge (a→c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graftlouvain.operators.graph import LinkGraph
+
+
+def _oriented(graph: LinkGraph) -> DataFrame:
+    """Unique undirected pairs oriented by (degree, id) ordering."""
+    deg = graph.degrees
+    pairs = graph.edges.where(F.col("src") < F.col("dst")).select("src", "dst")
+    d_src = deg.select(F.col("id").alias("src"), F.col("degree").alias("deg_src"))
+    d_dst = deg.select(F.col("id").alias("dst"), F.col("degree").alias("deg_dst"))
+    keyed = pairs.join(d_src, "src").join(d_dst, "dst")
+    fwd = F.struct("deg_src", "src") < F.struct("deg_dst", "dst")
+    return keyed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    )
+
+
+def triangle_list(graph: LinkGraph) -> DataFrame:
+    """Returns each triangle once as [a, b, c] (orientation order)."""
+    o = _oriented(graph)
+    e1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return wedges.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")
+
+
+def triangle_count(graph: LinkGraph) -> int:
+    return triangle_list(graph).count()
+
+
+def triangles_per_vertex(graph: LinkGraph) -> DataFrame:
+    """Returns [id, triangles] — every vertex of every triangle credited once
+    per triangle; vertices in no triangle get 0."""
+    tris = triangle_list(graph)
+    exploded = (
+        tris.select(F.col("a").alias("id"))
+        .unionByName(tris.select(F.col("b").alias("id")))
+        .unionByName(tris.select(F.col("c").alias("id")))
+    )
+    counts = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        graph.vertices.join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )

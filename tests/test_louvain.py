@@ -1,0 +1,110 @@
+"""Louvain correctness: reference-derivable invariants (Q₀), oracle label
+equality (exact), modularity preservation under coarsening."""
+
+import pytest
+
+from graftlouvain.operators.graph import LinkGraph, singleton_assignments
+from graftlouvain.operators.louvain import coarsen, louvain, louvain_level, modularity
+from graftlouvain.oracle.louvain_seq import (
+    seq_louvain,
+    seq_louvain_level,
+    seq_modularity,
+)
+
+from tests.fixtures import (
+    FIXTURE_28_W,
+    FIXTURE_KARATE_W,
+    FIXTURE_W5,
+    fixture_hub,
+    to_df,
+)
+
+
+def _labels(df):
+    return {r["id"]: r["community"] for r in df.collect()}
+
+
+def _canon(labels):
+    """Canonical partition: map each community to the smallest member id, so
+    two labelings are compared as partitions."""
+    rep = {}
+    for v, c in labels.items():
+        rep.setdefault(c, v)
+        rep[c] = min(rep[c], v)
+    return {v: rep[c] for v, c in labels.items()}
+
+
+def test_initial_modularity_fixture28(spark):
+    """Q₀ = −1/56 (reference m2 = 2·ecount convention, communities.rs:45) and
+    −1/14 textbook (BASELINE.md invariants)."""
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_28_W))
+    asg = singleton_assignments(g)
+    q_ref = modularity(g, asg, reference_convention=True)
+    q_txt = modularity(g, asg)
+    assert q_ref == pytest.approx(-1.0 / 56.0, abs=1e-12)
+    assert q_txt == pytest.approx(-1.0 / 14.0, abs=1e-12)
+    # oracle agrees
+    assert seq_modularity(FIXTURE_28_W, {v: v for v in range(16)}, True) == pytest.approx(
+        q_ref, abs=1e-12
+    )
+
+
+@pytest.mark.parametrize(
+    "edges", [FIXTURE_W5, FIXTURE_28_W, FIXTURE_KARATE_W, fixture_hub()],
+    ids=["w5", "fixture28", "karate", "hub"],
+)
+def test_level_labels_match_oracle(spark, edges):
+    """One Louvain level: engine labels == sequential oracle labels EXACTLY."""
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    asg, stats = louvain_level(g)
+    got = _labels(asg)
+    want, steps = seq_louvain_level(edges)
+    assert got == want
+    assert stats.supersteps == steps
+
+
+@pytest.mark.parametrize(
+    "edges", [FIXTURE_W5, FIXTURE_28_W, FIXTURE_KARATE_W, fixture_hub()],
+    ids=["w5", "fixture28", "karate", "hub"],
+)
+def test_full_louvain_matches_oracle(spark, edges):
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    result = louvain(g)
+    want, q_want = seq_louvain(edges)
+    assert _labels(result.assignments) == want
+    assert result.modularity == pytest.approx(q_want, abs=1e-9)
+
+
+def test_karate_modularity_quality(spark):
+    """Sanity: multi-level Louvain on karate reaches the published Q range
+    (≈0.40-0.42 for greedy variants, Blondel et al. 2008 report 0.42)."""
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    result = louvain(g)
+    assert 0.35 <= result.modularity <= 0.43
+    assert 2 <= result.num_communities <= 8
+
+
+def test_modularity_preserved_under_coarsening(spark):
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    asg, _ = louvain_level(g)
+    q_fine = modularity(g, asg)
+    cg = coarsen(g, asg)
+    q_coarse = modularity(cg, singleton_assignments(cg))
+    assert q_coarse == pytest.approx(q_fine, abs=1e-12)
+    # total weight (2m) is preserved exactly
+    assert cg.two_m == pytest.approx(g.two_m, abs=1e-9)
+
+
+def test_hub_partition_recovers_blocks(spark):
+    """On the star-plus-blocks skew fixture the blocks should dominate the
+    partition structure (hub joins one block or its own)."""
+    edges = fixture_hub(n_blocks=4, block_size=8)
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    result = louvain(g)
+    labels = _canon(_labels(result.assignments))
+    # every dense block ends up in a single community
+    v = 1
+    for _b in range(4):
+        block = list(range(v, v + 8))
+        v += 8
+        assert len({labels[u] for u in block}) == 1

@@ -1,0 +1,71 @@
+"""PageRank / CC / LPA / triangle tests vs sequential oracles (SURVEY.md §2h):
+labels/components exact, scores allclose 1e-6 (BASELINE.json:6)."""
+
+import pytest
+
+from graftlouvain.operators.components import components, components_star
+from graftlouvain.operators.graph import LinkGraph
+from graftlouvain.operators.labelprop import label_propagation
+from graftlouvain.operators.pagerank import pagerank
+from graftlouvain.operators.triangles import triangle_count, triangles_per_vertex
+from graftlouvain.oracle.graphs import (
+    seq_components,
+    seq_label_propagation,
+    seq_pagerank,
+    seq_triangles,
+)
+
+from tests.fixtures import FIXTURE_28_W, FIXTURE_KARATE_W, FIXTURE_W5, fixture_hub, to_df
+
+ALL = [FIXTURE_W5, FIXTURE_28_W, FIXTURE_KARATE_W, fixture_hub()]
+IDS = ["w5", "fixture28", "karate", "hub"]
+
+# two disconnected components: a triangle and a path
+TWO_COMP = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (10, 11, 1.0), (11, 12, 1.0)]
+
+
+@pytest.mark.parametrize("edges", ALL + [TWO_COMP], ids=IDS + ["twocomp"])
+def test_pagerank_matches_oracle(spark, edges):
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-12).collect()}
+    want = seq_pagerank(edges, tol=1e-12)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+@pytest.mark.parametrize("edges", ALL + [TWO_COMP], ids=IDS + ["twocomp"])
+def test_components_matches_oracle(spark, edges):
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = {r["id"]: r["component"] for r in components(g).collect()}
+    assert got == seq_components(edges)
+
+
+@pytest.mark.parametrize("edges", [FIXTURE_28_W, TWO_COMP], ids=["fixture28", "twocomp"])
+def test_components_star_matches(spark, edges):
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = {r["id"]: r["component"] for r in components_star(g).collect()}
+    assert got == seq_components(edges)
+
+
+@pytest.mark.parametrize("edges", ALL, ids=IDS)
+def test_lpa_matches_oracle(spark, edges):
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = {r["id"]: r["label"] for r in label_propagation(g, max_iter=5).collect()}
+    assert got == seq_label_propagation(edges, max_iter=5)
+
+
+@pytest.mark.parametrize("edges", ALL + [TWO_COMP], ids=IDS + ["twocomp"])
+def test_triangles_match_oracle(spark, edges):
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    want_total, want_per_v = seq_triangles(edges)
+    assert triangle_count(g) == want_total
+    got = {r["id"]: r["triangles"] for r in triangles_per_vertex(g).collect()}
+    assert got == want_per_v
+
+
+def test_karate_triangle_total(spark):
+    """Known value: Zachary karate club has 45 triangles."""
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    assert triangle_count(g) == 45
