@@ -1,0 +1,133 @@
+"""Two-parallelism scaling benchmark (the sandbox proxy for the N-vs-4N
+executor criterion, BASELINE.md): run the SAME Louvain job at local[8] and
+local[32] in separate JVMs, report edges/sec at each and
+
+    efficiency = (throughput_32 / throughput_8) / 4        (target ≥ 0.8)
+
+Input: a seeded synthetic co-change graph built once from the corpus generator
+(~1e5-1e6 edges, FIXTURES.md §1a scale-up) and written to parquet so both runs
+read identical bytes. Results land in BENCH/BASELINE.md.
+
+Usage: python BENCH/scaling.py [--edges-target 300000] [--skip-generate]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+DATA = REPO / "BENCH" / ".data"
+RESULTS = REPO / "BENCH" / "results"
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["GRAFT_REPO"])
+from graftlouvain.session import get_spark
+from graftlouvain.operators.graph import LinkGraph
+from graftlouvain.operators.louvain import louvain
+
+cpus = int(sys.argv[1])
+edges_path = sys.argv[2]
+spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+raw = spark.read.parquet(edges_path)
+t0 = time.monotonic()
+g = LinkGraph.from_edges(raw, num_partitions=cpus)
+build_s = time.monotonic() - t0
+t0 = time.monotonic()
+res = louvain(g)
+res.assignments.count()
+wall = time.monotonic() - t0
+supersteps = sum(l.supersteps for l in res.levels)
+labels_sha = None
+if os.environ.get("GRAFT_HASH_LABELS") == "1":
+    import hashlib
+    rows = sorted((r["id"], r["community"]) for r in res.assignments.collect())
+    labels_sha = hashlib.sha256(str(rows).encode()).hexdigest()
+print(json.dumps({
+    "cpus": cpus,
+    "build_sec": round(build_s, 2),
+    "louvain_sec": round(wall, 2),
+    "supersteps": supersteps,
+    "levels": len(res.levels),
+    "modularity": round(res.modularity, 6),
+    "directed_edges": g.stats.num_directed_edges,
+    "vertices": g.stats.num_vertices,
+    "edges_per_sec_per_level": round(g.stats.num_directed_edges * supersteps / wall, 1),
+    "labels_sha": labels_sha,
+}))
+"""
+
+
+def generate(edges_target: int) -> Path:
+    """Deterministic seeded co-change graph at benchmark scale, written once."""
+    out = DATA / f"edges_{edges_target}"
+    if (out / "_SUCCESS").exists():
+        return out
+    sys.path.insert(0, str(REPO))
+    from graftlouvain.operators.graph import LinkGraph
+    from graftlouvain.session import get_spark
+    from graftlouvain.sources.corpus import generate_corpus
+    from graftlouvain.sources.edges import cochange_edges, file_table
+
+    # corpus sized so co-change pair expansion lands near edges_target:
+    # edges ≈ repos × C(files_per_commit+1, 2)-ish × commits; tuned empirically
+    n_repos = max(8, edges_target // 6000)
+    spark = get_spark(app_name="scaling-gen", master="local[32]", shuffle_partitions=32)
+    corpus = generate_corpus(
+        spark, n_repos=n_repos, files_per_repo=40, commits_per_repo=120,
+        files_per_commit=6, p_cross=0.05, seed=42,
+    )
+    files = file_table(corpus).cache()
+    edges = cochange_edges(corpus, files)
+    edges.write.mode("overwrite").parquet(str(out))
+    spark.stop()
+    return out
+
+
+def run_level(cpus: int, edges_path: Path, hash_labels: bool = False) -> dict:
+    env = dict(os.environ, GRAFT_REPO=str(REPO))
+    if hash_labels:
+        env["GRAFT_HASH_LABELS"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), str(edges_path)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"worker local[{cpus}] failed:\n{proc.stderr[-3000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges-target", type=int, default=300_000)
+    ap.add_argument("--hash-labels", action="store_true",
+                    help="also assert byte-identical labels across levels")
+    args = ap.parse_args()
+    RESULTS.mkdir(parents=True, exist_ok=True)
+
+    edges_path = generate(args.edges_target)
+    r8 = run_level(8, edges_path, args.hash_labels)
+    r32 = run_level(32, edges_path, args.hash_labels)
+    eff = (r32["edges_per_sec_per_level"] / r8["edges_per_sec_per_level"]) / 4.0
+    det = (
+        r8.get("labels_sha") == r32.get("labels_sha")
+        if args.hash_labels else None
+    )
+    report = {"local8": r8, "local32": r32,
+              "scaling_efficiency": round(eff, 3),
+              "labels_identical": det,
+              "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    out = RESULTS / "scaling.json"
+    out.write_text(json.dumps(report, indent=2))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,12 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graftlouvain.functions.iterate import materialize
 from graftlouvain.operators.graph import LinkGraph
 
 
 def components(graph: LinkGraph, max_iter: int = 200) -> DataFrame:
     """Returns [id, component] with component = min vertex id reachable."""
-    labels = graph.vertices.select("id", F.col("id").alias("component")).localCheckpoint(True)
+    labels = materialize(graph.vertices.select("id", F.col("id").alias("component")))
     for _i in range(max_iter):
         nbr_min = (
             graph.edges.join(
@@ -29,19 +30,18 @@ def components(graph: LinkGraph, max_iter: int = 200) -> DataFrame:
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("c").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
+        new_labels = materialize(
+            labels.join(nbr_min, "id", "left").select(
                 "id",
                 F.least("component", F.coalesce("nbr_min", "component")).alias("component"),
             )
-            .localCheckpoint(True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "id")
             .where(F.col("component") != F.col("old"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -54,13 +54,12 @@ def components_star(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
     every node points to its component minimum. Exact same output contract as
     :func:`components`."""
     # undirected unique pairs with u != v
-    edges = (
+    edges = materialize(
         graph.edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .localCheckpoint(True)
     )
     for _i in range(max_iter):
         # large-star: for each node n over BOTH directions, m = min(nbrs ∪ n);
@@ -84,22 +83,22 @@ def components_star(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .unionByName(smins.select(F.col("n").alias("u"), F.col("m").alias("v")))
         )
-        new_edges = (
+        new_edges = materialize(
             large.unionByName(small)
             .where(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .select(F.col("v").alias("u"), F.col("u").alias("v"))  # u = min end
             .distinct()
-            .localCheckpoint(True)
         )
         # converged when edge set stable
-        if (
+        stable = (
             new_edges.exceptAll(edges).limit(1).count() == 0
             and edges.exceptAll(new_edges).limit(1).count() == 0
-        ):
-            edges = new_edges
-            break
+        )
+        edges.unpersist()
         edges = new_edges
+        if stable:
+            break
     # edges now (min_end=u? ensure orientation): rows are (u=small, v=large)
     parents = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
     return (

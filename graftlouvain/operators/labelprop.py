@@ -15,12 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graftlouvain.functions.iterate import materialize
 from graftlouvain.operators.graph import LinkGraph
 
 
 def label_propagation(graph: LinkGraph, max_iter: int = 5) -> DataFrame:
     """Returns [id, label]."""
-    labels = graph.vertices.select("id", F.col("id").alias("label")).localCheckpoint(True)
+    labels = materialize(graph.vertices.select("id", F.col("id").alias("label")))
     for _i in range(max_iter):
         weighted = (
             graph.edges.where(F.col("src") != F.col("dst"))
@@ -36,16 +37,16 @@ def label_propagation(graph: LinkGraph, max_iter: int = 5) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("id", F.col("l").alias("new_label"))
         )
-        new_labels = (
+        new_labels = materialize(
             labels.join(winners, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "id")
             .where(F.col("label") != F.col("old"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graftlouvain.functions.iterate import materialize, swap
 from graftlouvain.operators.graph import LinkGraph, community_stats, singleton_assignments
 
 
@@ -73,14 +74,10 @@ def modularity(
     return float(row["q"] or 0.0)
 
 
-def _superstep(
-    graph: LinkGraph,
-    assignments: DataFrame,
-    step: int,
-    gain_eps: float,
-) -> tuple[DataFrame, int]:
-    """One synchronous local-move superstep (L2/L3 — the reference's
-    unimplemented move phase, communities.rs:68-83, reconstructed).
+def move_scores(graph: LinkGraph, assignments: DataFrame) -> DataFrame:
+    """Candidate-move scoring table [src, nbr_comm, cur_comm, k_ic, k_i, score]
+    for one superstep (L2/L3 — the reference's unimplemented move phase,
+    communities.rs:68-83, reconstructed).
 
     Derivation of the score: moving i (already removed from its community)
     into C changes Q by [2·k_{i→C} + self_i]/S − (2·tot'_C·k_i + k_i²)/S².
@@ -124,7 +121,7 @@ def _superstep(
     cur = assignments.select(F.col("id").alias("src"), F.col("community").alias("cur_comm"))
     deg = graph.degrees.select(F.col("id").alias("src"), F.col("degree").alias("k_i"))
 
-    scored = (
+    return (
         cand.join(tot, "nbr_comm")
         .join(cur, "src")
         .join(deg, "src")
@@ -141,6 +138,18 @@ def _superstep(
             / F.lit(S),
         )
     )
+
+
+def _superstep(
+    graph: LinkGraph,
+    assignments: DataFrame,
+    step: int,
+    gain_eps: float,
+) -> tuple[DataFrame, int]:
+    """One synchronous local-move superstep: score candidates against frozen
+    state, window-argmax per vertex (ties → smallest community id), apply
+    strictly-improving moves that pass the even/odd direction gate."""
+    scored = move_scores(graph, assignments)
 
     w_rank = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("nbr_comm"))
     w_all = Window.partitionBy("src")
@@ -160,22 +169,25 @@ def _superstep(
         if step % 2 == 0
         else (F.col("nbr_comm") > F.col("cur_comm"))
     )
+    # Materialize the (small) move set ONCE — the heavy scored plan runs a
+    # single time per superstep; the assignment update then joins two already-
+    # materialized tiny tables (replaces the reference's per-round buffer
+    # lifecycle, messagemanager.rs:328-393). Callers run state hygiene via
+    # functions.iterate (lineage cut + truthful planner statistics).
     moves = best.where(
         (F.col("nbr_comm") != F.col("cur_comm"))
         & (F.col("score") > F.col("stay_score") + F.lit(gain_eps))
         & direction
-    ).select(F.col("src").alias("id"), F.col("nbr_comm").alias("new_comm"))
-
-    new_asg = (
-        assignments.join(moves, "id", "left")
-        .select(
-            "id", F.coalesce("new_comm", "community").cast("long").alias("community")
-        )
-    )
-    # Cut lineage every superstep — the iterative-plan-explosion guard
-    # (replaces the reference's buffer reuse, messagemanager.rs:328-393).
-    new_asg = new_asg.localCheckpoint(eager=True)
+    ).select(
+        F.col("src").alias("id"), F.col("nbr_comm").alias("new_comm")
+    ).localCheckpoint(eager=True)
     n_moves = moves.count()
+    if n_moves == 0:
+        return assignments, 0
+
+    new_asg = assignments.join(moves, "id", "left").select(
+        "id", F.coalesce("new_comm", "community").cast("long").alias("community")
+    )
     return new_asg, n_moves
 
 
@@ -200,12 +212,14 @@ def louvain_level(
     pair produces zero moves (both parities of the oscillation gate must be
     quiescent) or ``max_supersteps``."""
     asg = assignments if assignments is not None else singleton_assignments(graph)
-    asg = asg.localCheckpoint(eager=True)
+    asg = materialize(asg)
     stats = LevelStats(level=level)
     zero_streak = 0
     for step in range(max_supersteps):
         t0 = time.monotonic()
-        asg, n_moves = _superstep(graph, asg, step, gain_eps)
+        new_asg, n_moves = _superstep(graph, asg, step, gain_eps)
+        if new_asg is not asg:
+            asg = swap(asg, new_asg)
         wall = int((time.monotonic() - t0) * 1000)
         stats.supersteps += 1
         stats.moves.append(n_moves)
@@ -272,15 +286,14 @@ def louvain(
         stats.modularity = q
         level_stats.append(stats)
         # Unwind: global community ids are the current level's vertex ids.
-        global_asg = (
+        global_asg = swap(
+            global_asg,
             global_asg.join(
                 asg.select(
                     F.col("id").alias("community"), F.col("community").alias("_new")
                 ),
                 "community",
-            )
-            .select("id", F.col("_new").alias("community"))
-            .localCheckpoint(eager=True)
+            ).select("id", F.col("_new").alias("community")),
         )
         if checkpointer is not None:
             checkpointer.save_level(
@@ -291,6 +304,7 @@ def louvain(
             break
         q_prev = q
         nxt = coarsen(cur, asg)
+        asg.unpersist()
         if cur is not graph:
             cur.unpersist()
         cur = nxt

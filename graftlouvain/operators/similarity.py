@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column [vec_id: long, embedding:
+array<float>].
+
+- :func:`cosine_topk` — exact brute-force top-k: query×corpus join with the
+  dot product as a JVM ``aggregate(zip_with(...))`` expression (no UDF), window
+  top-k. The correctness baseline; O(Q × N) — fine when the query set is small
+  or both sides are bucketed.
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH (sign bits of dot
+  products with R seeded Gaussian-ish planes → one bucket key); candidates
+  share a bucket (multi-probe over ``n_tables`` independent tables), exact
+  cosine re-rank within buckets. Recall < 1 by construction; tested against
+  brute force on clustered data.
+
+At 100 TB: brute force is a broadcast of the (small) query set against a
+partitioned corpus — embarrassingly parallel, no shuffle until the final
+top-k agg; LSH turns the corpus side into bucket-local joins.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: "F.Column", b: "F.Column") -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: "F.Column") -> "F.Column":
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(joined: DataFrame, a_col: str = "qv", b_col: str = "cv") -> DataFrame:
+    a = F.col(a_col)
+    b = F.col(b_col)
+    return joined.withColumn(
+        "cosine", F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+    )
+
+
+def _as_double(df: DataFrame, vec_col: str) -> "F.Column":
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[query_id, vec_id, cosine, rank] — exact top-k neighbors per query
+    (self-matches by id excluded). Ties broken by ascending vec_id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(queries, vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(corpus, vec_col).alias("cv")
+    )
+    scored = (
+        with_cosine(F.broadcast(q).crossJoin(c))
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _planes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-Gaussian hyperplanes (Box-Muller on seeded PRNG)."""
+    rng = random.Random(seed)
+    return [
+        [
+            [
+                math.sqrt(-2.0 * math.log(max(rng.random(), 1e-12)))
+                * math.cos(2.0 * math.pi * rng.random())
+                for _ in range(dim)
+            ]
+            for _ in range(n_bits)
+        ]
+        for _ in range(n_tables)
+    ]
+
+
+def lsh_bucketed(
+    vectors: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[vec_id, table, bucket, v] — one row per (vector, table): bucket =
+    packed sign bits of the vector against that table's hyperplanes."""
+    planes = _planes(dim, n_bits, n_tables, seed)
+    v = _as_double(vectors, vec_col)
+    rows = []
+    for t, table in enumerate(planes):
+        bucket = None
+        for i, plane in enumerate(table):
+            d = _dot(v, F.array(*[F.lit(x) for x in plane]))
+            bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, i)
+            bucket = term if bucket is None else bucket + term
+        rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), F.explode(F.array(*rows)).alias("tb")
+    ).select("vec_id", "tb.table", "tb.bucket", "v")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket-join across ``n_tables`` LSH tables, exact
+    cosine re-rank of candidates. Same output schema as :func:`cosine_topk`."""
+    qb = lsh_bucketed(queries, dim, n_bits, n_tables, seed, id_col, vec_col)
+    cb = lsh_bucketed(corpus, dim, n_bits, n_tables, seed, id_col, vec_col)
+    cands = (
+        qb.select("table", "bucket", F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .join(
+            cb.select("table", "bucket", "vec_id", F.col("v").alias("cv")),
+            ["table", "bucket"],
+        )
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "qv", "cv")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = with_cosine(cands)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs (cosine ≥ threshold) over the full cross
+    product — the small-N baseline; the LSH-bucketed version is the scale path
+    (bucket first, then the same predicate)."""
+    a = vectors.select(F.col(id_col).alias("a"), _as_double(vectors, vec_col).alias("qv"))
+    b = vectors.select(F.col(id_col).alias("b"), _as_double(vectors, vec_col).alias("cv"))
+    return (
+        with_cosine(a.crossJoin(b))
+        .where((F.col("a") < F.col("b")) & (F.col("cosine") >= threshold))
+        .select("a", "b", "cosine")
+    )

@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Runtime bloom-filter injection is pathological for iterative
+        # multi-join plans over checkpointed RDDs (sizeInBytes defaults to
+        # Long.MaxValue per leaf; InjectRuntimeFilter's size-estimate products
+        # degenerate into unbounded BigInteger math burning minutes of driver
+        # CPU per superstep plan). Our superstep joins are full-table joins
+        # with no selective filter side, so runtime filters cannot help them.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

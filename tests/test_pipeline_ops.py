@@ -1,0 +1,190 @@
+"""Training-data pipeline operators: dedup, similarity search, text analysis,
+multimodal plumbing — tested on deterministic synthetic documents/vectors."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graftlouvain.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from graftlouvain.operators.multimodal import decode_features, frame_sample_plan, media_from_docs
+from graftlouvain.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from graftlouvain.operators.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and that is the end of the story "
+    "which we repeat to make the document long enough for shingles"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "der hund und die katze sind nicht das problem ist es"),
+        (4, "completely different content about spark dataframes and shuffles xyz"),
+        (5, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out[0]["canonical_id"] == 0 and not out[0]["is_duplicate"]
+    assert out[1]["canonical_id"] == 0 and out[1]["is_duplicate"]
+    assert not out[2]["is_duplicate"]
+    assert len({r["content_sha"] for r in out.values()}) == 5
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert all(a < b for a, b in pairs)
+    assert (0, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = {(r["a"], r["b"]) for r in
+           minhash_lsh_pairs(docs, threshold=0.5).select("a", "b").collect()}
+    assert (0, 1) in got
+    assert (0, 2) in got  # J≈0.9 near-dup caught by 16 bands of 4
+    assert (0, 4) not in got
+
+
+def test_minhash_signature_properties(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=16).collect()}
+    assert sigs[0] == sigs[1]  # identical docs → identical signatures
+    agree_02 = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 16
+    agree_04 = sum(a == b for a, b in zip(sigs[0], sigs[4])) / 16
+    assert agree_02 > agree_04  # signature agreement tracks Jaccard
+
+
+def test_simhash_near_dups(spark, docs):
+    got = {(r["a"], r["b"]): r["hamming"] for r in
+           simhash_near_dup_pairs(docs, max_hamming=10).collect()}
+    assert got.get((0, 1)) == 0
+    assert (0, 2) in got and got[(0, 2)] <= 10
+    assert (0, 4) not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """3 clusters of near-identical vectors + noise, deterministic."""
+    import random
+    rng = random.Random(7)
+    rows = []
+    dim = 16
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    vid = 0
+    for c in centers:
+        for _ in range(5):
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in c]))
+            vid += 1
+    for _ in range(10):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dim)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = cosine_topk(vectors.where("vec_id < 3"), vectors, k=4)
+    rows = out.where("query_id = 0").orderBy("rank").collect()
+    assert {r["vec_id"] for r in rows} == {1, 2, 3, 4}  # own cluster first
+    assert all(r["cosine"] > 0.99 for r in rows)
+    # oracle: exact python cosine for query 0's top-1
+    vecs = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+    best = max((cos(vecs[0], vecs[j]) for j in vecs if j != 0))
+    assert rows[0]["cosine"] == pytest.approx(best, abs=1e-6)
+
+
+def test_lsh_topk_recall(spark, vectors):
+    exact = cosine_topk(vectors.where("vec_id < 3"), vectors, k=4)
+    approx = lsh_topk(vectors.where("vec_id < 3"), vectors, dim=16, k=4,
+                      n_bits=8, n_tables=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.75  # clustered data, 8 tables → high recall
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(vectors, 0.99).collect()}
+    # all intra-cluster pairs of cluster 0 (ids 0-4) present
+    want = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert want <= pairs
+    assert all(not (a < 5 <= b < 10) for a, b in pairs)  # no cross-cluster
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[5] == "de"  # zero hits → alphabetically first (deterministic)
+
+
+def test_token_counts(spark, docs):
+    out = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert out[5]["ws_tokens"] == 0 and out[5]["n_chars"] == 0
+    assert out[0]["ws_tokens"] == len(BASE.split())
+    assert out[0]["bpe_ish_tokens"] >= out[0]["ws_tokens"]
+
+
+def test_quality_scores(spark, docs):
+    out = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert out[0]["quality"] == 1.0
+    assert out[5]["quality"] <= 0.5  # empty doc: fails length+stopword gates
+    assert 0.0 <= out[3]["quality"] <= 1.0
+
+
+def test_fingerprints(spark, docs):
+    import hashlib
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    assert out[0] == out[1] == hashlib.sha256(BASE.lower().encode()).hexdigest()
+    spaced = docs.select("doc_id", F.concat(F.lit("  "), F.upper("text"), F.lit("\n\n")).alias("text"))
+    out2 = {r["doc_id"]: r["fingerprint"] for r in fingerprints(spaced).collect()}
+    assert out2[0] == out[0]  # formatting-invariant
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = media_from_docs(docs)
+    feats = decode_features(media, fake=True)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows[0]["n_bytes"] == len(BASE.encode())
+    assert len(rows[0]["features"]) == 8
+    assert all(0.0 <= x <= 1.0 for x in rows[0]["features"])
+    assert rows[0]["sha"] == rows[1]["sha"]  # same bytes → same sha
+    import hashlib
+    assert rows[0]["sha"] == hashlib.sha256(BASE.encode()).hexdigest()
+    with pytest.raises(NotImplementedError):
+        decode_features(media, fake=False)
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"xx"), {"n_frames": "25"})],
+        "media_id long, kind string, blob binary, meta map<string,string>",
+    )
+    frames = [r["frame_idx"] for r in frame_sample_plan(media, every_n=10).collect()]
+    assert sorted(frames) == [0, 10, 20]
