@@ -119,15 +119,20 @@ def minhash_signatures(
     """[doc_id, sig: array<long>] — sig[j] = min over grams of
     xxhash64(gram, seed=j). Entirely JVM-side: transform over the gram array
     per hash seed + array_min."""
-    grams = _char_ngrams(text_col, n)
-
-    # seed captured via def scope — a `j=j` lambda default would switch
-    # pyspark's transform() into its (element, index) two-argument form
-    def _minhash(j: int):
-        return F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(j))))
-
-    sig = F.array(*[_minhash(j) for j in range(num_hashes)])
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    # Explode distinct grams ONCE, then compute all k minima in a single
+    # hash-aggregate pass (map-side partial min per hash). An array-expression
+    # formulation (transform+array_min per seed) re-evaluates the substring
+    # extraction per seed — 64× the work; measured 568 s vs seconds at sf0.1.
+    grams = doc_ngrams(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("gram"), F.lit(j))).alias(f"_h{j}")
+        for j in range(num_hashes)
+    ]
+    per_doc = grams.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -187,28 +192,41 @@ def simhash64(
     whitespace tokens; bands are the four 16-bit slices used for Hamming-
     distance bucketing (Manku et al. 2007 uses permuted tables; fixed slices
     are the standard simple variant)."""
-    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # bit i of simhash = 1 iff Σ_tokens sign(bit i of hash) > 0.
-    # NB: the bit index must be captured by a def scope, not a lambda default —
-    # pyspark derives the higher-order-function arity from the lambda signature.
-    def _vote(i: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-
-    bit_votes = [_vote(i) for i in range(64)]
+    # bit i of simhash = 1 iff sum over tokens of sign(bit i of token hash) > 0.
+    # Tokens are exploded once and all 64 bit-votes run in a single
+    # hash-aggregate pass (same explode-not-array-expr rationale as
+    # minhash_signatures; the array formulation re-evaluates tokenization per
+    # bit). Token multiplicity is kept (frequency-weighted votes, Charikar
+    # 2002). Empty documents get simhash 0 via the left join.
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
     sim = None
-    for i, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for i in range(64):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
-    out = docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    sims = votes.select("doc_id", sim.alias("simhash"))
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(sims, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
     for b in range(4):
         out = out.withColumn(
             f"band{b}",

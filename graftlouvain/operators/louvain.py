@@ -88,9 +88,12 @@ def move_scores(graph: LinkGraph, assignments: DataFrame) -> DataFrame:
     special weight (communitystate.rs:147-163).
     """
     S = graph.two_m
-    # C4 — THE central superstep join (communitystate.rs:147-163):
-    # weights from each vertex to each neighboring community.
-    nbr = (
+    # C4 — THE central superstep join (communitystate.rs:147-163): weights
+    # from each vertex to each neighboring community. The vertex's own
+    # community is unioned in as a zero-weight candidate BEFORE the single
+    # aggregation (guaranteeing "stay" a defined score without a second
+    # groupBy shuffle; adding 0.0 is exact in IEEE so sums are unchanged).
+    nbr_rows = (
         graph.edges.where(F.col("src") != F.col("dst"))
         .join(
             assignments.select(
@@ -98,17 +101,18 @@ def move_scores(graph: LinkGraph, assignments: DataFrame) -> DataFrame:
             ),
             "dst",
         )
-        .groupBy("src", "nbr_comm")
-        .agg(F.sum("weight").alias("k_ic"))
+        .select("src", "nbr_comm", F.col("weight").alias("k_ic"))
     )
-    # Guarantee the vertex's own community is always a candidate (k=0 if no
-    # neighbors there) so "stay" has a defined score.
     own = assignments.select(
         F.col("id").alias("src"),
         F.col("community").alias("nbr_comm"),
         F.lit(0.0).alias("k_ic"),
     )
-    cand = nbr.unionByName(own).groupBy("src", "nbr_comm").agg(F.sum("k_ic").alias("k_ic"))
+    cand = (
+        nbr_rows.unionByName(own)
+        .groupBy("src", "nbr_comm")
+        .agg(F.sum("k_ic").alias("k_ic"))
+    )
 
     # Community totals (tot_C = Σ member degrees), recomputed per superstep —
     # replaces the reference's delta maintenance (communitystate.rs:96-132).
