@@ -65,6 +65,42 @@ print(json.dumps({
 """
 
 
+def generate_direct(edges_target: int, n_blocks: int = 400, block_size: int = 500,
+                    p_out_frac: float = 0.05) -> Path:
+    """Seeded planted-partition edge table straight from numpy — the scale
+    path for the scaling benchmark (the corpus→co-change extraction pipeline
+    is exercised by :func:`generate` and the pytest suite; pure-Python corpus
+    generation cannot reach 10^7-edge scale in reasonable time)."""
+    out = DATA / f"direct_{edges_target}"
+    if (out / "_SUCCESS").exists():
+        return out
+    import numpy as np
+    import pandas as pd
+    sys.path.insert(0, str(REPO))
+    from graftlouvain.session import get_spark
+
+    rng = np.random.default_rng(42)
+    V = n_blocks * block_size
+    n_in = int(edges_target * (1 - p_out_frac))
+    n_out = edges_target - n_in
+    blk = rng.integers(0, n_blocks, size=n_in)
+    u = blk * block_size + rng.integers(0, block_size, size=n_in)
+    v = blk * block_size + rng.integers(0, block_size, size=n_in)
+    uo = rng.integers(0, V, size=n_out)
+    vo = rng.integers(0, V, size=n_out)
+    src = np.concatenate([u, uo]).astype("int64")
+    dst = np.concatenate([v, vo]).astype("int64")
+    keep = src != dst
+    pdf = pd.DataFrame(
+        {"src": src[keep], "dst": dst[keep], "weight": np.ones(keep.sum())}
+    )
+    spark = get_spark(app_name="scaling-gen-direct", master="local[32]",
+                      shuffle_partitions=32)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(out))
+    spark.stop()
+    return out
+
+
 def generate(edges_target: int) -> Path:
     """Deterministic seeded co-change graph at benchmark scale, written once."""
     out = DATA / f"edges_{edges_target}"
@@ -77,12 +113,13 @@ def generate(edges_target: int) -> Path:
     from graftlouvain.sources.edges import cochange_edges, file_table
 
     # corpus sized so co-change pair expansion lands near edges_target:
-    # edges ≈ repos × C(files_per_commit+1, 2)-ish × commits; tuned empirically
-    n_repos = max(8, edges_target // 6000)
+    # unique undirected edges ≈ repos × C(F,2) × (1 − exp(−commits·C(fpc,2)/C(F,2)))
+    # with F=100, fpc=8, commits=400 that is ≈ 4400 × repos
+    n_repos = max(8, edges_target // 4400)
     spark = get_spark(app_name="scaling-gen", master="local[32]", shuffle_partitions=32)
     corpus = generate_corpus(
-        spark, n_repos=n_repos, files_per_repo=40, commits_per_repo=120,
-        files_per_commit=6, p_cross=0.05, seed=42,
+        spark, n_repos=n_repos, files_per_repo=100, commits_per_repo=400,
+        files_per_commit=8, p_cross=0.05, seed=42,
     )
     files = file_table(corpus).cache()
     edges = cochange_edges(corpus, files)
@@ -91,28 +128,44 @@ def generate(edges_target: int) -> Path:
     return out
 
 
-def run_level(cpus: int, edges_path: Path, hash_labels: bool = False) -> dict:
+def run_level(cpus: int, edges_path: Path, hash_labels: bool = False,
+              trials: int = 3) -> dict:
+    """Median-of-N trials (each its own JVM) — single-box wall times vary
+    ±30% with page-cache/JIT/GC state, so a single pair is not a defensible
+    efficiency measurement."""
     env = dict(os.environ, GRAFT_REPO=str(REPO))
     if hash_labels:
         env["GRAFT_HASH_LABELS"] = "1"
-    proc = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(edges_path)],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(f"worker local[{cpus}] failed:\n{proc.stderr[-3000:]}")
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    results = []
+    for _t in range(trials):
+        proc = subprocess.run(
+            [sys.executable, "-c", WORKER, str(cpus), str(edges_path)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"worker local[{cpus}] failed:\n{proc.stderr[-3000:]}")
+        results.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    results.sort(key=lambda r: r["louvain_sec"])
+    med = results[len(results) // 2]
+    med["trials_louvain_sec"] = [r["louvain_sec"] for r in results]
+    med["trials_labels_identical"] = len({r["labels_sha"] for r in results}) == 1
+    return med
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges-target", type=int, default=300_000)
+    ap.add_argument("--direct", action="store_true",
+                    help="numpy planted-partition generator (for 10^7-edge scale)")
     ap.add_argument("--hash-labels", action="store_true",
                     help="also assert byte-identical labels across levels")
+    ap.add_argument("--out", default="scaling.json")
     args = ap.parse_args()
     RESULTS.mkdir(parents=True, exist_ok=True)
 
-    edges_path = generate(args.edges_target)
+    edges_path = (
+        generate_direct(args.edges_target) if args.direct else generate(args.edges_target)
+    )
     r8 = run_level(8, edges_path, args.hash_labels)
     r32 = run_level(32, edges_path, args.hash_labels)
     eff = (r32["edges_per_sec_per_level"] / r8["edges_per_sec_per_level"]) / 4.0
@@ -124,7 +177,7 @@ def main() -> None:
               "scaling_efficiency": round(eff, 3),
               "labels_identical": det,
               "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
-    out = RESULTS / "scaling.json"
+    out = RESULTS / args.out
     out.write_text(json.dumps(report, indent=2))
     print(json.dumps(report))
 

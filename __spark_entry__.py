@@ -284,6 +284,27 @@ def q_embedding_near_dups(spark, sf):
     return embedding_near_dup_pairs(emb, threshold=0.99).select("a", "b", "cosine")
 
 
+def q_dedup_clusters(spark, sf):
+    """Composed pipeline: n-gram Jaccard near-dup pairs → connected components
+    → dedup clusters (every doc labeled with the min doc_id of its near-dup
+    cluster). The canonical 'which rows do I keep' output of a training-data
+    dedup stage."""
+    docs = _read(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=8, threshold=0.5, max_doc_freq=100)
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    g = LinkGraph.from_edges(edges)
+    cc = components(g).withColumnRenamed("id", "doc_id").withColumnRenamed(
+        "component", "cluster"
+    )
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster", "doc_id").alias("cluster"))
+    )
+
+
 def q_lang_id(spark, sf):
     return lang_id(_read(spark, sf, "documents")).select("doc_id", "pred_lang", "hits")
 
@@ -360,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "triangle_total": q_triangle_total,
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
@@ -555,6 +577,30 @@ SELECT i.a, i.b,
        ROUND(CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i), 6) AS jaccard
 FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
 WHERE CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i) >= 0.5"""
+
+    sql["dedup_clusters"] = f"""WITH RECURSIVE {_NGRAM_DOCS_CTE.strip()},
+inter AS (
+  SELECT ra.doc_id AS a, rb.doc_id AS b, COUNT(*) AS i
+  FROM rare ra JOIN rare rb ON ra.gram = rb.gram AND ra.doc_id < rb.doc_id
+  GROUP BY 1, 2
+),
+dup_pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+  WHERE CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i) >= 0.5
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM dup_pairs
+  UNION ALL SELECT b, a FROM dup_pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+),
+cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
 
     _cos = """
 qd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -21,14 +21,49 @@ new one is materialized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Cut lineage AND reset the planner's size statistics to reality."""
-    cached = df.localCheckpoint(eager=True).cache()
+    """Cut lineage AND reset the planner's size statistics to reality.
+
+    Order matters: cache → count → checkpoint → unpersist. ``localCheckpoint``
+    copies the statistics of the plan it truncates onto its LogicalRDD leaf
+    (LogicalRDD.fromDataset), so checkpointing FIRST stamps the leaf with the
+    inherited join-product estimate and downstream plans still snowball
+    (measured: moves-plan estimate digits doubling per superstep —
+    34→82→180→…→3105 by superstep 6). Checkpointing the *materialized cache*
+    instead stamps the leaf with the real in-memory byte size, and the cache
+    can then be dropped — the checkpointed RDD blocks are independent storage.
+    """
+    cached = df.cache()
     cached.count()
-    return cached
+    ck = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return ck
+
+
+@contextmanager
+def superstep_planning(spark: SparkSession):
+    """Disable AQE inside tight superstep loops (restoring it afterwards).
+
+    AQE re-optimizes after every shuffle stage — several driver round-trips
+    per superstep that cost a near-constant ~5-7 s regardless of data size or
+    core count (measured: 15.4 s vs 8.4 s per superstep at 18M edges on
+    local[32]). Because every iterative operator here keeps truthful input
+    statistics (``materialize``), the static planner already makes the right
+    broadcast/shuffle choices, so AQE buys nothing inside the loop. Ad-hoc
+    relational queries keep AQE (skew-join splitting, coalescing) — this
+    scope only covers the superstep bodies."""
+    conf = spark.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def swap(old: DataFrame | None, new: DataFrame) -> DataFrame:

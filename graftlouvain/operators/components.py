@@ -14,37 +14,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize
+from graftlouvain.functions.iterate import materialize, superstep_planning
 from graftlouvain.operators.graph import LinkGraph
 
 
 def components(graph: LinkGraph, max_iter: int = 200) -> DataFrame:
     """Returns [id, component] with component = min vertex id reachable."""
-    labels = materialize(graph.vertices.select("id", F.col("id").alias("component")))
-    for _i in range(max_iter):
-        nbr_min = (
-            graph.edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("component").alias("c")),
-                "dst",
+    with superstep_planning(graph.edges.sparkSession):
+        labels = materialize(graph.vertices.select("id", F.col("id").alias("component")))
+        for _i in range(max_iter):
+            nbr_min = (
+                graph.edges.join(
+                    labels.select(F.col("id").alias("dst"), F.col("component").alias("c")),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("c").alias("nbr_min"))
             )
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("c").alias("nbr_min"))
-        )
-        new_labels = materialize(
-            labels.join(nbr_min, "id", "left").select(
-                "id",
-                F.least("component", F.coalesce("nbr_min", "component")).alias("component"),
+            new_labels = materialize(
+                labels.join(nbr_min, "id", "left").select(
+                    "id",
+                    F.least("component", F.coalesce("nbr_min", "component")).alias("component"),
+                )
             )
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .where(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+            changed = (
+                new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+                .where(F.col("component") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
     return labels
 
 

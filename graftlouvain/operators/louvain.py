@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, swap
+from graftlouvain.functions.iterate import materialize, superstep_planning, swap
 from graftlouvain.operators.graph import LinkGraph, community_stats, singleton_assignments
 
 
@@ -72,6 +72,29 @@ def modularity(
         .first()
     )
     return float(row["q"] or 0.0)
+
+
+def singleton_modularity(graph: LinkGraph, reference_convention: bool = False) -> float:
+    """Modularity of the all-singletons partition, closed form:
+    Q₀ = Σ_selfloops w / S − Σ_v (k_v/S)². Two scalar aggregations instead of
+    the two edge⋈assignment joins of the general :func:`modularity` — and
+    because coarsening preserves Q exactly (tested to 1e-12),
+    ``singleton_modularity(coarsen(g, asg)) == modularity(g, asg)``, which is
+    how the level loop evaluates per-level Q without touching the fine graph
+    twice."""
+    s = 2.0 * graph.two_m if reference_convention else graph.two_m
+    if s == 0:
+        return 0.0
+    selfw = (
+        graph.edges.where(F.col("src") == F.col("dst"))
+        .agg(F.sum("weight").alias("w"))
+        .first()["w"]
+        or 0.0
+    )
+    sumdeg2 = graph.degrees.agg(
+        F.sum(F.col("degree") * F.col("degree")).alias("d2")
+    ).first()["d2"] or 0.0
+    return float(selfw) / s - float(sumdeg2) / (s * s)
 
 
 def move_scores(graph: LinkGraph, assignments: DataFrame) -> DataFrame:
@@ -144,20 +167,11 @@ def move_scores(graph: LinkGraph, assignments: DataFrame) -> DataFrame:
     )
 
 
-def _superstep(
-    graph: LinkGraph,
-    assignments: DataFrame,
-    step: int,
-    gain_eps: float,
-) -> tuple[DataFrame, int]:
-    """One synchronous local-move superstep: score candidates against frozen
-    state, window-argmax per vertex (ties → smallest community id), apply
-    strictly-improving moves that pass the even/odd direction gate."""
-    scored = move_scores(graph, assignments)
-
+def _best_moves_window(scored: DataFrame) -> DataFrame:
+    """Argmax per vertex via window rank — the default JVM-only physical path."""
     w_rank = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("nbr_comm"))
     w_all = Window.partitionBy("src")
-    best = (
+    return (
         scored.withColumn("rn", F.row_number().over(w_rank))
         .withColumn(
             "stay_score",
@@ -166,7 +180,49 @@ def _superstep(
             ).over(w_all),
         )
         .where(F.col("rn") == 1)
+        .drop("rn")
     )
+
+
+def _best_moves_pandas(scored: DataFrame) -> DataFrame:
+    """Argmax per vertex via an Arrow-batched grouped-map UDF — the
+    north-star's "local modularity-gain moves via vectorized pandas/Arrow UDFs
+    over adjacency partitions" (BASELINE.json). Numerically identical to the
+    window path (same doubles, same smallest-community tie-break); provided as
+    an alternative physical strategy and pinned equal by tests."""
+    import pandas as pd  # noqa: F401 (Arrow path)
+
+    def argmax(pdf):
+        # sort: score desc, nbr_comm asc → first row is the deterministic best
+        pdf = pdf.sort_values(["score", "nbr_comm"], ascending=[False, True])
+        best = pdf.iloc[0]
+        stay = pdf.loc[pdf["nbr_comm"] == pdf["cur_comm"], "score"]
+        return pdf.iloc[:1].assign(
+            nbr_comm=best["nbr_comm"],
+            score=best["score"],
+            stay_score=stay.max() if len(stay) else float("-inf"),
+        )
+
+    schema = (
+        "src long, nbr_comm long, k_ic double, tot double, cur_comm long, "
+        "k_i double, score double, stay_score double"
+    )
+    cols = ["src", "nbr_comm", "k_ic", "tot", "cur_comm", "k_i", "score"]
+    return scored.select(*cols).groupBy("src").applyInPandas(argmax, schema)
+
+
+def _superstep(
+    graph: LinkGraph,
+    assignments: DataFrame,
+    step: int,
+    gain_eps: float,
+    use_pandas: bool = False,
+) -> tuple[DataFrame, int]:
+    """One synchronous local-move superstep: score candidates against frozen
+    state, argmax per vertex (ties → smallest community id), apply
+    strictly-improving moves that pass the even/odd direction gate."""
+    scored = move_scores(graph, assignments)
+    best = _best_moves_pandas(scored) if use_pandas else _best_moves_window(scored)
 
     direction = (
         (F.col("nbr_comm") < F.col("cur_comm"))
@@ -184,8 +240,8 @@ def _superstep(
         & direction
     ).select(
         F.col("src").alias("id"), F.col("nbr_comm").alias("new_comm")
-    ).localCheckpoint(eager=True)
-    n_moves = moves.count()
+    ).localCheckpoint(eager=False)
+    n_moves = moves.count()  # materializes the lazy checkpoint in this one job
     if n_moves == 0:
         return assignments, 0
 
@@ -211,31 +267,33 @@ def louvain_level(
     gain_eps: float = 1e-12,
     level: int = 0,
     checkpointer=None,
+    use_pandas: bool = False,
 ) -> tuple[DataFrame, LevelStats]:
     """L1 one_level (communities.rs:36-41): supersteps until a full even+odd
     pair produces zero moves (both parities of the oscillation gate must be
     quiescent) or ``max_supersteps``."""
     asg = assignments if assignments is not None else singleton_assignments(graph)
-    asg = materialize(asg)
     stats = LevelStats(level=level)
     zero_streak = 0
-    for step in range(max_supersteps):
-        t0 = time.monotonic()
-        new_asg, n_moves = _superstep(graph, asg, step, gain_eps)
-        if new_asg is not asg:
-            asg = swap(asg, new_asg)
-        wall = int((time.monotonic() - t0) * 1000)
-        stats.supersteps += 1
-        stats.moves.append(n_moves)
-        stats.wall_ms.append(wall)
-        if checkpointer is not None:
-            checkpointer.save_superstep(
-                algorithm="louvain", level=level, superstep=step, assignments=asg,
-                moves=n_moves, wall_ms=wall,
-            )
-        zero_streak = zero_streak + 1 if n_moves == 0 else 0
-        if zero_streak >= 2:
-            break
+    with superstep_planning(graph.edges.sparkSession):
+        asg = materialize(asg)
+        for step in range(max_supersteps):
+            t0 = time.monotonic()
+            new_asg, n_moves = _superstep(graph, asg, step, gain_eps, use_pandas=use_pandas)
+            if new_asg is not asg:
+                asg = swap(asg, new_asg)
+            wall = int((time.monotonic() - t0) * 1000)
+            stats.supersteps += 1
+            stats.moves.append(n_moves)
+            stats.wall_ms.append(wall)
+            if checkpointer is not None:
+                checkpointer.save_superstep(
+                    algorithm="louvain", level=level, superstep=step, assignments=asg,
+                    moves=n_moves, wall_ms=wall,
+                )
+            zero_streak = zero_streak + 1 if n_moves == 0 else 0
+            if zero_streak >= 2:
+                break
     return asg, stats
 
 
@@ -272,6 +330,7 @@ def louvain(
     gain_eps: float = 1e-12,
     min_q_gain: float = 1e-7,
     checkpointer=None,
+    use_pandas: bool = False,
 ) -> LouvainResult:
     """Full multi-level Louvain: local-move level → coarsen → repeat until the
     level's modularity gain < ``min_q_gain``. Final labels are unwound to
@@ -279,14 +338,19 @@ def louvain(
     global_asg = singleton_assignments(graph)
     cur = graph
     level_stats: list[LevelStats] = []
-    q_prev = modularity(cur, singleton_assignments(cur))
+    q_prev = singleton_modularity(cur)
     q = q_prev
     for level in range(max_levels):
         asg, stats = louvain_level(
             cur, max_supersteps=max_supersteps, gain_eps=gain_eps, level=level,
-            checkpointer=checkpointer,
+            checkpointer=checkpointer, use_pandas=use_pandas,
         )
-        q = modularity(cur, asg)
+        # Coarsen first, then read the level's Q off the coarse graph's
+        # singleton partition (exactly equal, two scalar aggs instead of two
+        # full edge⋈assignment joins on the fine graph — see
+        # singleton_modularity).
+        nxt = coarsen(cur, asg)
+        q = singleton_modularity(nxt)
         stats.modularity = q
         level_stats.append(stats)
         # Unwind: global community ids are the current level's vertex ids.
@@ -304,11 +368,11 @@ def louvain(
                 algorithm="louvain", level=level, assignments=global_asg,
                 degrees=cur.degrees, coarse_edges=None, modularity=q,
             )
+        asg.unpersist()
         if q - q_prev < min_q_gain:
+            nxt.unpersist()
             break
         q_prev = q
-        nxt = coarsen(cur, asg)
-        asg.unpersist()
         if cur is not graph:
             cur.unpersist()
         cur = nxt

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize
+from graftlouvain.functions.iterate import materialize, superstep_planning
 from graftlouvain.operators.graph import LinkGraph
 
 
@@ -41,33 +41,34 @@ def pagerank(
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share"))
         .cache()
     )
-    ranks = materialize(graph.vertices.select("id", F.lit(1.0 / V).alias("rank")))
-    base = (1.0 - alpha) / V
-    iters = n_iter if n_iter is not None else max_iter
-    for _i in range(iters):
-        contrib = (
-            shares.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
-        )
-        new_ranks = materialize(
-            graph.vertices.join(contrib, "id", "left").select(
-                "id",
-                (F.lit(base) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias("rank"),
+    with superstep_planning(graph.edges.sparkSession):
+        ranks = materialize(graph.vertices.select("id", F.lit(1.0 / V).alias("rank")))
+        base = (1.0 - alpha) / V
+        iters = n_iter if n_iter is not None else max_iter
+        for _i in range(iters):
+            contrib = (
+                shares.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
             )
-        )
-        if n_iter is None:
-            delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-                .first()["d"]
+            new_ranks = materialize(
+                graph.vertices.join(contrib, "id", "left").select(
+                    "id",
+                    (F.lit(base) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias("rank"),
+                )
             )
-            ranks.unpersist()
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
-        else:
-            ranks.unpersist()
-            ranks = new_ranks
+            if n_iter is None:
+                delta = (
+                    new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+                    .first()["d"]
+                )
+                ranks.unpersist()
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks.unpersist()
+                ranks = new_ranks
     shares.unpersist()
     return ranks

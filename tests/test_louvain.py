@@ -108,3 +108,12 @@ def test_hub_partition_recovers_blocks(spark):
         block = list(range(v, v + 8))
         v += 8
         assert len({labels[u] for u in block}) == 1
+
+
+def test_pandas_argmax_path_matches_window(spark):
+    """The Arrow grouped-map argmax (north-star pandas-UDF local phase) must
+    produce the exact same labels as the window path."""
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    asg_w, _ = louvain_level(g, use_pandas=False)
+    asg_p, _ = louvain_level(g, use_pandas=True)
+    assert _labels(asg_w) == _labels(asg_p)
