@@ -249,6 +249,14 @@ def q_dedup_exact(spark, sf):
     )
 
 
+def q_dedup_keep(spark, sf):
+    """Anti-join keep-list: documents surviving exact dedup (the left_anti
+    relational primitive from SURVEY.md §2g)."""
+    docs = _read(spark, sf, "documents")
+    dups = exact_dedup(docs).where(F.col("is_duplicate")).select("doc_id")
+    return docs.select("doc_id", "n_chars").join(dups, "doc_id", "left_anti")
+
+
 def q_ngram_jaccard_dups(spark, sf):
     return ngram_jaccard_pairs(
         _read(spark, sf, "documents"), n=8, threshold=0.5, max_doc_freq=100
@@ -381,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "triangle_total": q_triangle_total,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep": q_dedup_keep,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -577,6 +586,16 @@ SELECT i.a, i.b,
        ROUND(CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i), 6) AS jaccard
 FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
 WHERE CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i) >= 0.5"""
+
+    sql["dedup_keep"] = """
+WITH hashed AS (SELECT doc_id, SHA256(text) AS content_sha FROM documents),
+canon AS (SELECT content_sha, MIN(doc_id) AS canonical_id FROM hashed GROUP BY 1),
+dups AS (
+  SELECT h.doc_id FROM hashed h JOIN canon c ON h.content_sha = c.content_sha
+  WHERE h.doc_id != c.canonical_id
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = d.doc_id)"""
 
     sql["dedup_clusters"] = f"""WITH RECURSIVE {_NGRAM_DOCS_CTE.strip()},
 inter AS (

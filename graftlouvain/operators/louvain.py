@@ -322,6 +322,22 @@ class LouvainResult:
     levels: list  # list[LevelStats]
     num_communities: int
 
+    def metrics(self, spark=None) -> DataFrame:
+        """Per-superstep metrics table [level, superstep, moves, wall_ms,
+        level_modularity] — the engine's replacement for the reference's
+        per-rank logger (S2, /root/reference/src/logger.rs:11-29); append it
+        to a ``_metrics`` table for run observability."""
+        spark = spark or self.assignments.sparkSession
+        rows = [
+            (s.level, i, int(m), int(w), float(s.modularity))
+            for s in self.levels
+            for i, (m, w) in enumerate(zip(s.moves, s.wall_ms))
+        ]
+        return spark.createDataFrame(
+            rows,
+            "level int, superstep int, moves long, wall_ms long, level_modularity double",
+        )
+
 
 def louvain(
     graph: LinkGraph,

@@ -117,3 +117,12 @@ def test_pandas_argmax_path_matches_window(spark):
     asg_w, _ = louvain_level(g, use_pandas=False)
     asg_p, _ = louvain_level(g, use_pandas=True)
     assert _labels(asg_w) == _labels(asg_p)
+
+
+def test_metrics_table(spark):
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_W5))
+    res = louvain(g)
+    rows = res.metrics().collect()
+    assert len(rows) == sum(s.supersteps for s in res.levels)
+    assert sum(r["moves"] for r in rows) > 0
+    assert all(r["wall_ms"] >= 0 for r in rows)
