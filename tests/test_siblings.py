@@ -69,3 +69,27 @@ def test_karate_triangle_total(spark):
     """Known value: Zachary karate club has 45 triangles."""
     g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
     assert triangle_count(g) == 45
+
+
+def test_components_star_random_graph(spark):
+    """Property test: large/small-star output equals min-label CC on a seeded
+    random graph with several components."""
+    import random
+    rng = random.Random(123)
+    edges = []
+    for comp_base in (0, 100, 200, 300):
+        ids = list(range(comp_base, comp_base + rng.randint(3, 25)))
+        for v in ids[1:]:
+            edges.append((rng.choice(ids[: ids.index(v)]), v, 1.0))
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = {r["id"]: r["component"] for r in components_star(g).collect()}
+    assert got == seq_components(edges)
+
+
+def test_components_star_path_graph(spark):
+    """Worst case for min-label propagation (diameter = V); large/small-star
+    must still produce exact min-id components in O(log V) rounds."""
+    edges = [(i, i + 1, 1.0) for i in range(63)] + [(100, 101, 1.0)]
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = {r["id"]: r["component"] for r in components_star(g, max_iter=16).collect()}
+    assert got == seq_components(edges)
