@@ -341,6 +341,45 @@ def q_multimodal_meta(spark, sf):
     return decode_features(media, fake=True).select("media_id", "n_bytes", "sha")
 
 
+def q_corpus_stats_rollup(spark, sf):
+    """Rollup aggregation over the documents table: per (lang, source) doc and
+    char totals with subtotal and grand-total rows (GROUPING SETS exercise)."""
+    docs = _read(spark, sf, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+def q_hash_sample(spark, sf):
+    """Deterministic 10% sample: xxhash64 bucket of doc_id — the
+    reproducible-sampling primitive for training-data pipelines (seeded,
+    partition-layout-independent, unlike F.rand). Rows-only (xxhash64 has no
+    DuckDB twin); determinism is pinned by comparing two evaluations in
+    pytest instead."""
+    docs = _read(spark, sf, "documents")
+    return docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        "doc_id", "n_chars"
+    )
+
+
+def q_char_quantiles(spark, sf):
+    """Exact interpolated quantiles of document length per language
+    (Spark `percentile` == DuckDB `quantile_cont`)."""
+    docs = _read(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+    )
+
+
 def q_events_hourly(spark, sf):
     """Streaming-equivalent batch rollup: hourly windowed counts/sums per
     event type (the Structured-Streaming pipeline in
@@ -401,6 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "corpus_stats_rollup": q_corpus_stats_rollup,
+        "hash_sample": q_hash_sample,
+        "char_quantiles": q_char_quantiles,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
     }
@@ -733,6 +775,21 @@ SELECT doc_id AS media_id,
        CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
        SHA256(text) AS sha
 FROM documents"""
+
+    sql["corpus_stats_rollup"] = """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)"""
+
+    sql["char_quantiles"] = """
+SELECT lang,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang"""
 
     sql["events_hourly"] = """
 SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,

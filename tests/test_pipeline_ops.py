@@ -188,3 +188,19 @@ def test_frame_sample_plan(spark):
     )
     frames = [r["frame_idx"] for r in frame_sample_plan(media, every_n=10).collect()]
     assert sorted(frames) == [0, 10, 20]
+
+
+def test_hash_sample_deterministic(spark):
+    """xxhash64-bucket sampling must be identical across evaluations and
+    partition layouts (unlike F.rand)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as em
+    a = {r["doc_id"] for r in em.q_hash_sample(spark, "/root/testdata/sf0.001").collect()}
+    b = {
+        r["doc_id"]
+        for r in em.q_hash_sample(spark, "/root/testdata/sf0.001")
+        .repartition(7)
+        .collect()
+    }
+    assert a == b and len(a) > 0

@@ -28,3 +28,46 @@ def test_stream_equals_batch(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stateful_sessionization(spark):
+    """Custom stateful operator (applyInPandasWithState): closed sessions from
+    the stream must agree with the batch sessionizer. The open tail session
+    per user stays in state, so stream_closed + open_tails == batch_total."""
+    from graftlouvain.streaming.sessions import sessionize_stream
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    sf = "/root/testdata/sf0.001"
+    out = sessionize_stream(spark, sf, glob="events.parquet")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT user_id, count(*) AS closed FROM sessions_test GROUP BY user_id"
+    )
+    closed = {r["user_id"]: r["closed"] for r in got.collect()}
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    batch = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("total"))
+    )
+    total = {r["user_id"]: r["total"] for r in batch.collect()}
+    assert set(closed) <= set(total)
+    # every user: closed sessions = total − 1 (the open tail never times out
+    # inside processAllAvailable)
+    for u, t in total.items():
+        assert closed.get(u, 0) == t - 1
