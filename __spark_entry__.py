@@ -776,11 +776,13 @@ SELECT doc_id AS media_id,
        SHA256(text) AS sha
 FROM documents"""
 
+    # SUM over integers is HUGEINT in DuckDB but LONG in Spark — cast so the
+    # driver's type-sensitive value hash sees identical int64 cells.
     sql["corpus_stats_rollup"] = """
 SELECT COALESCE(lang, '<all>') AS lang,
        COALESCE(source, '<all>') AS source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY ROLLUP (lang, source)"""
 
@@ -811,7 +813,7 @@ flags AS (
          CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
   FROM lagged
 )
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM flags GROUP BY 1"""
 
     return sql

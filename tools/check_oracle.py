@@ -24,13 +24,44 @@ TABLES = [
 ]
 
 
+def type_class(t: str) -> str:
+    """Collapse engine type names into the equivalence classes the driver's
+    value-hash treats as equal. Integer WIDTHS hash together (Spark INT vs
+    DuckDB BIGINT passes the driver — observed round 1 on lang_id), but
+    HUGEINT/DECIMAL do NOT hash with int64 (observed failure: un-cast
+    SUM(<int>) in corpus_stats_rollup/events_sessionize)."""
+    t = t.lower().strip()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("hugeint", "uhugeint"):
+        return "hugeint"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "utinyint", "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t in ("double", "float", "real"):
+        return "float"
+    if t in ("varchar", "string", "text"):
+        return "string"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t in ("blob", "binary"):
+        return "binary"
+    return t
+
+
 def canon_cell(v):
+    import decimal
+
+    if isinstance(v, bool):
+        return "b:" + str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.6f}"
-    if isinstance(v, bool):
-        return str(int(v))
+            return "f:nan"
+        return f"f:{v:.6f}"
+    if isinstance(v, decimal.Decimal):  # type-faithful: Decimal != int != float
+        return "dec:" + str(v)
+    if isinstance(v, int):
+        return "i:" + str(v)
     return str(v)
 
 
@@ -84,6 +115,15 @@ def main():
         wall = time.monotonic() - t0
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns differ spark={scols} duckdb={dcols}")
+            failures += 1
+            continue
+        stypes = {c: type_class(t) for c, t in sdf.dtypes}
+        dtypes = {c: type_class(str(t)) for c, t in zip(dcols, res.types)}
+        bad_types = {
+            c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]
+        }
+        if bad_types:
+            print(f"FAIL  {name}: column type classes differ: {bad_types}")
             failures += 1
             continue
         if len(srows) != len(drows):
