@@ -8,9 +8,12 @@ SURVEY.md §2 (+ the training-data pipeline operators). Graph tables are
 derived deterministically from the testdata star schema: suppliers appearing
 in the same order are linked (weight = co-occurrence count) — the same
 co-change construction the engine applies to the source-code corpus
-(graftlouvain/sources/edges.py). Iterative/hash-based operators without an
-ANSI-SQL equivalent (full Louvain, LPA, MinHash/SimHash) are exposed
-rows-only, as the contract allows.
+(graftlouvain/sources/edges.py). Every query has a DuckDB oracle except full
+multi-level Louvain, whose data-dependent iteration count is genuinely not
+expressible in ANSI SQL (rows-only, exact-label-verified against the in-repo
+sequential oracle in pytest instead). Fixed-iteration algorithms (PageRank,
+LPA) are unrolled as chained CTEs; MinHash/SimHash/hash_sample key on md5 so
+DuckDB reproduces the exact hashes.
 """
 
 from __future__ import annotations
@@ -264,15 +267,15 @@ def q_ngram_jaccard_dups(spark, sf):
 
 
 def q_minhash_lsh_dups(spark, sf):
-    """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard ≥ 0.5
-    (xxhash64-based — rows-only check)."""
+    """MinHash(64, md5 affine family)+LSH(16 bands) candidates verified by
+    exact Jaccard ≥ 0.5 restricted to the candidate set (SQL-checkable)."""
     return minhash_lsh_pairs(
         _read(spark, sf, "documents"), n=8, num_hashes=64, bands=16, threshold=0.5
     ).select("a", "b", "jaccard")
 
 
 def q_simhash_dups(spark, sf):
-    """SimHash-64 near-dup pairs at Hamming ≤ 8 (xxhash64-based — rows-only)."""
+    """SimHash-64 (md5 bit votes) near-dup pairs at Hamming ≤ 8 (SQL-checkable)."""
     return simhash_near_dup_pairs(
         _read(spark, sf, "documents"), max_hamming=8
     ).select("a", "b", "hamming")
@@ -358,15 +361,16 @@ def q_corpus_stats_rollup(spark, sf):
 
 
 def q_hash_sample(spark, sf):
-    """Deterministic 10% sample: xxhash64 bucket of doc_id — the
-    reproducible-sampling primitive for training-data pipelines (seeded,
-    partition-layout-independent, unlike F.rand). Rows-only (xxhash64 has no
-    DuckDB twin); determinism is pinned by comparing two evaluations in
-    pytest instead."""
+    """Deterministic 10% sample: md5 bucket of doc_id — the reproducible-
+    sampling primitive for training-data pipelines (seeded, partition-layout-
+    independent, unlike F.rand). md5-keyed so the DuckDB oracle reproduces the
+    exact same sample; determinism across evaluations is also pinned in
+    pytest."""
     docs = _read(spark, sf, "documents")
-    return docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
-        "doc_id", "n_chars"
-    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return docs.where(F.pmod(h, F.lit(10)) == 0).select("doc_id", "n_chars")
 
 
 def q_char_quantiles(spark, sf):
@@ -495,6 +499,148 @@ rare AS (
 """
 
 
+def _lpa_sql(iters: int = 5) -> str:
+    """Fixed-iteration synchronous LPA as chained CTEs (mirrors _pagerank_sql;
+    a converged labeling is a fixpoint, so unconditional unrolling matches the
+    engine's early-stop)."""
+    ctes = ["lp0 AS (SELECT id, id AS label FROM deg)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""lp{i} AS (
+  SELECT p.id, COALESCE(w.new_label, p.label) AS label
+  FROM lp{i - 1} p LEFT JOIN (
+    SELECT id, l AS new_label FROM (
+      SELECT e.src AS id, n.label AS l,
+             ROW_NUMBER() OVER (PARTITION BY e.src
+                                ORDER BY SUM(e.weight) DESC, n.label ASC) AS rn
+      FROM sym e JOIN lp{i - 1} n ON e.dst = n.id
+      WHERE e.src != e.dst
+      GROUP BY e.src, n.label
+    ) ranked WHERE rn = 1
+  ) w ON w.id = p.id
+)"""
+        )
+    return (
+        "WITH " + _EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, label FROM lp{iters}"
+    )
+
+
+_MD5_PAIR = """
+  SELECT doc_id,
+         CAST('0x' || SUBSTR(md5({col}), 1, 15) AS BIGINT) AS h1,
+         CAST('0x' || SUBSTR(md5({col}), 17, 14) AS BIGINT) AS h2
+  FROM {src}"""
+
+
+def _minhash_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """MinHash(md5 affine double-hash family) + banded LSH + candidate-
+    restricted exact Jaccard — the DuckDB twin of
+    graftlouvain.operators.dedup.minhash_lsh_pairs."""
+    r = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        f"MIN(h1 + {j} * h2) AS s{j}" for j in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, CONCAT_WS(',', "
+        + ", ".join(f"s{b * r + i}" for i in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    gh = _MD5_PAIR.format(col="gram", src="grams")
+    return f"""WITH {_NGRAM_DOCS_CTE.strip()},
+gh AS ({gh}
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM gh GROUP BY 1
+),
+sbands AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM sbands l JOIN sbands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cands c
+  JOIN rare ra ON ra.doc_id = c.a
+  JOIN rare rb ON rb.doc_id = c.b AND rb.gram = ra.gram
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       ROUND(CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i) >= {threshold}"""
+
+
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """SimHash-64 (md5 bit votes, 4 × 16-bit band bucketing) — the DuckDB twin
+    of graftlouvain.operators.dedup.simhash_near_dup_pairs."""
+    vote_cols = ",\n         ".join(
+        (
+            f"SUM(CASE WHEN (h1 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+            if i < 60
+            else f"SUM(CASE WHEN (h2 >> {i - 60}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        )
+        for i in range(64)
+    )
+    band_exprs = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{b * 16 + i} > 0 THEN 1 ELSE 0 END << {i})"
+            for i in range(16)
+        )
+        + f") AS band{b}"
+        for b in range(4)
+    )
+    band_joins = "\n  UNION\n".join(
+        f"  SELECT l.doc_id AS a, r.doc_id AS b FROM allb l JOIN allb r"
+        f" ON l.band{b} = r.band{b} AND l.doc_id < r.doc_id"
+        for b in range(4)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(CAST(la.band{b} AS BIGINT), CAST(lb.band{b} AS BIGINT)))"
+        for b in range(4)
+    )
+    th = _MD5_PAIR.format(col="token", src="toks")
+    return rf"""WITH toks AS (
+  SELECT d.doc_id, t.token
+  FROM documents d,
+       LATERAL (SELECT UNNEST(string_split_regex(LOWER(d.text), '\s+')) AS token) t
+  WHERE t.token <> ''
+),
+th AS ({th}
+),
+votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM th GROUP BY 1
+),
+sb AS (
+  SELECT doc_id,
+         {band_exprs}
+  FROM votes
+),
+allb AS (
+  SELECT d.doc_id,
+         COALESCE(s.band0, 0) AS band0, COALESCE(s.band1, 0) AS band1,
+         COALESCE(s.band2, 0) AS band2, COALESCE(s.band3, 0) AS band3
+  FROM documents d LEFT JOIN sb s ON d.doc_id = s.doc_id
+),
+cands AS (
+{band_joins}
+)
+SELECT c.a, c.b, CAST({hamming} AS INTEGER) AS hamming
+FROM cands c
+JOIN allb la ON la.doc_id = c.a
+JOIN allb lb ON lb.doc_id = c.b
+WHERE {hamming} <= {max_hamming}"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -582,6 +728,16 @@ FROM sym e JOIN nation ns ON e.src = ns.id JOIN nation nd ON e.dst = nd.id
 GROUP BY 1, 2"""
 
     sql["pagerank"] = _pagerank_sql(10, 0.85)
+
+    sql["label_propagation"] = _lpa_sql(5)
+
+    sql["minhash_lsh_dups"] = _minhash_sql(64, 16, 0.5)
+
+    sql["simhash_dups"] = _simhash_sql(8)
+
+    sql["hash_sample"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0"""
 
     sql["connected_components"] = f"""WITH RECURSIVE {_EDGES_CTE.strip()},
 reach(id, r) AS (

@@ -6,12 +6,13 @@ Five variants over a documents table [doc_id: long, text: string]:
 - :func:`ngram_jaccard_pairs` — EXACT character-n-gram Jaccard similarity via
   distinct-gram self-join (quadratic in near-dup cluster size; the exact
   baseline the approximate methods are validated against).
-- :func:`minhash_lsh_pairs` — MinHash signatures (k permutations approximated
-  by k seeded xxhash64 draws, JVM-side `transform`+`array_min`, no Python in
-  the hot path) banded into LSH buckets; candidate pairs post-verified with
-  exact Jaccard. The 100 TB-scale path: cost ≈ O(docs × k) + bucket joins.
-- :func:`simhash64` — 64-bit SimHash (Charikar 2002) over token hashes,
-  computed entirely with JVM array/bit expressions; near-dups = signatures at
+- :func:`minhash_lsh_pairs` — MinHash signatures (one md5 per gram, k affine
+  double-hash permutations, no Python in the hot path) banded into LSH
+  buckets; candidate pairs post-verified with exact Jaccard restricted to the
+  candidate set. The 100 TB-scale path: cost ≈ O(docs × grams) + bucket joins
+  + O(candidates) verification.
+- :func:`simhash64` — 64-bit SimHash (Charikar 2002) over md5 token hashes,
+  computed entirely with JVM bit expressions; near-dups = signatures at
   small Hamming distance, bucketed by 4 × 16-bit bands (Manku et al. 2007).
 - :func:`embedding_cosine_pairs` — near-duplicate detection on an embedding
   column (array<float>), exact cosine over a (optionally LSH-bucketed) join.
@@ -67,34 +68,24 @@ def doc_ngrams(
     return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 8,
-    threshold: float = 0.8,
-    max_doc_freq: int = 100,
-) -> DataFrame:
-    """Exact Jaccard over distinct char n-grams: pairs with J ≥ threshold.
-    Grams appearing in more than ``max_doc_freq`` documents are excluded from
-    pair GENERATION (hot-bucket guard) but kept in the per-doc set sizes, so
-    J is computed on the intersection restricted to rare grams over true union
-    size — a conservative (recall-lowering, precision-keeping) approximation
-    applied identically in the SQL oracle."""
-    pairs_grams = doc_ngrams(docs, id_col, text_col, n)
-    sizes = pairs_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    df_counts = pairs_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    rare = pairs_grams.join(
+def _gram_tables(
+    docs: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int
+) -> tuple[DataFrame, DataFrame]:
+    """(rare, sizes): rare = (doc_id, gram) pairs whose gram appears in at most
+    ``max_doc_freq`` docs (hot-bucket guard for pair generation); sizes = full
+    per-doc distinct-gram counts (union sizes stay exact)."""
+    grams = doc_ngrams(docs, id_col, text_col, n)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    rare = grams.join(
         df_counts.where(F.col("df") <= max_doc_freq).select("gram"), "gram", "left_semi"
     )
-    a = rare.select(F.col("doc_id").alias("a"), "gram")
-    b = rare.select(F.col("doc_id").alias("b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    return rare, sizes
+
+
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """[a, b, jaccard ≥ threshold] from per-pair rare-gram intersection counts
+    plus exact per-doc set sizes."""
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("nb"))
     return (
@@ -109,6 +100,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.8,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact Jaccard over distinct char n-grams: pairs with J ≥ threshold.
+    Grams appearing in more than ``max_doc_freq`` documents are excluded from
+    pair GENERATION (hot-bucket guard) but kept in the per-doc set sizes, so
+    J is computed on the intersection restricted to rare grams over true union
+    size — a conservative (recall-lowering, precision-keeping) approximation
+    applied identically in the SQL oracle."""
+    rare, sizes = _gram_tables(docs, id_col, text_col, n, max_doc_freq)
+    a = rare.select(F.col("doc_id").alias("a"), "gram")
+    b = rare.select(F.col("doc_id").alias("b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def _md5_pair(col: "F.Column") -> tuple["F.Column", "F.Column"]:
+    """Two independent integers from one md5: h1 = first 15 hex chars
+    (60 bits), h2 = 14 hex chars from position 17 (56 bits). Hex parse via
+    conv() — DuckDB replicates with CAST('0x'||SUBSTR(...) AS BIGINT),
+    verified identical bit-for-bit."""
+    m = F.md5(col)
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 17, 14), 16, 10).cast("long")
+    return h1, h2
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -116,19 +144,29 @@ def minhash_signatures(
     n: int = 8,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """[doc_id, sig: array<long>] — sig[j] = min over grams of
-    xxhash64(gram, seed=j). Entirely JVM-side: transform over the gram array
-    per hash seed + array_min."""
-    # Explode distinct grams ONCE, then compute all k minima in a single
-    # hash-aggregate pass (map-side partial min per hash). An array-expression
-    # formulation (transform+array_min per seed) re-evaluates the substring
-    # extraction per seed — 64× the work; measured 568 s vs seconds at sf0.1.
+    """[doc_id, sig: array<long>] — sig[j] = min over grams of (h1 + j·h2)
+    with (h1, h2) derived from md5(gram) (:func:`_md5_pair`).
+
+    ONE variable-length hash per gram; the k permutations are the affine
+    double-hashing family g_j = h1 + j·h2 (Kirsch & Mitzenmacher 2006) —
+    ~k× cheaper than k independent string hashes, and exactly replicable in
+    the DuckDB oracle. No overflow: h1 < 2^60 and j·h2 < 64·2^56 = 2^62,
+    so h1 + j·h2 < 2^63 for j ≤ 63.
+
+    Grams are exploded ONCE and all k minima run in a single hash-aggregate
+    pass (map-side partial min per hash); an array-expression formulation
+    (transform+array_min per seed) re-evaluates the substring extraction per
+    seed — measured 568 s vs seconds at sf0.1.
+    """
+    assert num_hashes <= 64, "affine family sized for j ≤ 63 (overflow bound)"
     grams = doc_ngrams(docs, id_col, text_col, n)
+    h1, h2 = _md5_pair(F.col("gram"))
+    hashed = grams.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.xxhash64(F.col("gram"), F.lit(j))).alias(f"_h{j}")
+        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"_h{j}")
         for j in range(num_hashes)
     ]
-    per_doc = grams.groupBy("doc_id").agg(*aggs)
+    per_doc = hashed.groupBy("doc_id").agg(*aggs)
     return per_doc.select(
         "doc_id",
         F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("sig"),
@@ -179,10 +217,18 @@ def minhash_lsh_pairs(
     )
     if not verify_exact:
         return cands
-    exact = ngram_jaccard_pairs(
-        docs, id_col, text_col, n, threshold, max_doc_freq=max_doc_freq
+    # Exact-Jaccard verification restricted to CANDIDATE pairs — cost
+    # O(candidates × grams/doc), never the all-pairs gram self-join (which
+    # would defeat LSH at scale): attach a's rare grams to each candidate
+    # pair, then count how many also belong to b.
+    rare, sizes = _gram_tables(docs, id_col, text_col, n, max_doc_freq)
+    ga = cands.join(rare.select(F.col("doc_id").alias("a"), "gram"), "a")
+    inter = (
+        ga.join(rare.select(F.col("doc_id").alias("b"), "gram"), ["b", "gram"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return cands.join(exact, ["a", "b"], "inner")
+    return _jaccard_from_inter(inter, sizes, threshold)
 
 
 def simhash64(
@@ -197,20 +243,25 @@ def simhash64(
     # hash-aggregate pass (same explode-not-array-expr rationale as
     # minhash_signatures; the array formulation re-evaluates tokenization per
     # bit). Token multiplicity is kept (frequency-weighted votes, Charikar
-    # 2002). Empty documents get simhash 0 via the left join.
+    # 2002). Empty documents get simhash 0 via the left join. The 64 token-hash
+    # bits come from md5 (bits 0-59 from h1, 60-63 from h2 — :func:`_md5_pair`)
+    # so the DuckDB oracle reproduces them exactly.
+    h1, h2 = _md5_pair(F.col("token"))
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("token"),
-    ).withColumn("h", F.xxhash64("token"))
+    ).select("doc_id", h1.alias("h1"), h2.alias("h2"))
+
+    def _bit(i: int) -> "F.Column":
+        if i < 60:
+            return F.shiftright(F.col("h1"), i).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("h2"), i - 60).bitwiseAND(F.lit(1))
+
     votes = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_v{i}")
+            F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"_v{i}")
             for i in range(64)
         ]
     )

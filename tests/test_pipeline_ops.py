@@ -191,7 +191,7 @@ def test_frame_sample_plan(spark):
 
 
 def test_hash_sample_deterministic(spark):
-    """xxhash64-bucket sampling must be identical across evaluations and
+    """md5-bucket sampling must be identical across evaluations and
     partition layouts (unlike F.rand)."""
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
