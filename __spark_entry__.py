@@ -41,7 +41,7 @@ from graftlouvain.operators.multimodal import decode_features, media_from_docs  
 from graftlouvain.operators.pagerank import pagerank  # noqa: E402
 from graftlouvain.operators.similarity import (  # noqa: E402
     cosine_topk,
-    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
 )
 from graftlouvain.operators.textstats import (  # noqa: E402
     fingerprints,
@@ -290,9 +290,13 @@ def q_embedding_topk(spark, sf):
 
 
 def q_embedding_near_dups(spark, sf):
-    """Exact cosine near-duplicate pairs (≥ 0.99) among vec_id < 100."""
+    """Cosine near-duplicate pairs (≥ 0.99) among vec_id < 100 — routed
+    through the LSH-bucketed scale path (no CartesianProduct in the plan);
+    the all-pairs SQL oracle is the exactness check."""
     emb = _read(spark, sf, "embeddings").where("vec_id < 100")
-    return embedding_near_dup_pairs(emb, threshold=0.99).select("a", "b", "cosine")
+    return embedding_near_dup_pairs_lsh(emb, dim=64, threshold=0.99).select(
+        "a", "b", "cosine"
+    )
 
 
 def q_dedup_clusters(spark, sf):

@@ -62,6 +62,7 @@ def components_star(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
         )
         .distinct()
     )
+    stable = False
     for _i in range(max_iter):
         # large-star: for each node n over BOTH directions, m = min(nbrs ∪ n);
         # emit (v, m) for strictly-larger neighbors v > n.
@@ -91,17 +92,35 @@ def components_star(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("u").alias("v"))  # u = min end
             .distinct()
         )
-        # converged when edge set stable
+        # converged when the round was a no-op: same row count AND no row of
+        # the new set missing from the old (one exceptAll job, not two —
+        # equal-cardinality set containment implies equality)
         stable = (
-            new_edges.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(new_edges).limit(1).count() == 0
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
         )
         edges.unpersist()
         edges = new_edges
         if stable:
             break
     # edges now (min_end=u? ensure orientation): rows are (u=small, v=large)
-    parents = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    if not stable:
+        # max_iter exhausted before the star-forest fixpoint: a node may still
+        # appear with several parents — collapse to the minimum so the output
+        # honors the one-row-per-vertex [id, component] contract (labels may
+        # then be a refinement of the true components; warn loudly).
+        import warnings
+
+        warnings.warn(
+            f"components_star: not converged after {max_iter} rounds; "
+            "emitting min-parent labels (possibly refined components)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    parents = (
+        edges.groupBy(F.col("v").alias("id"))
+        .agg(F.min("u").alias("component"))
+    )
     return (
         graph.vertices.join(parents, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))

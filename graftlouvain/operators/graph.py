@@ -43,6 +43,11 @@ class GraphStats:
     max_id: int  # reference global_vcount = max_id + 1 (graph.rs:226-261)
     num_directed_edges: int  # rows of the symmetrized, pair-aggregated table (ref global_ecount)
     total_weight: float  # S = Σ sym weights = Σ degrees = textbook 2m
+    max_out_degree: int = 0  # max adjacency ROW count per vertex (skew signal)
+
+    @property
+    def avg_out_degree(self) -> float:
+        return self.num_directed_edges / max(self.num_vertices, 1)
 
 
 @dataclass
@@ -95,7 +100,10 @@ class LinkGraph:
         if cache:
             agg = agg.cache()
 
-        degrees = agg.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("degree"))
+        degrees = agg.groupBy(F.col("src").alias("id")).agg(
+            F.sum("weight").alias("degree"),
+            F.count(F.lit(1)).alias("out_degree"),
+        )
         if cache:
             degrees = degrees.cache()
         vertices = degrees.select("id")
@@ -106,11 +114,13 @@ class LinkGraph:
             F.max(F.greatest("src", "dst")).alias("max_id"),
             F.count_distinct("src").alias("vcount"),
         ).first()
+        deg_row = degrees.agg(F.max("out_degree").alias("max_out")).first()
         stats = GraphStats(
             num_vertices=int(row["vcount"] or 0),
             max_id=int(row["max_id"]) if row["max_id"] is not None else -1,
             num_directed_edges=int(row["ecount"]),
             total_weight=float(row["total_weight"] or 0.0),
+            max_out_degree=int(deg_row["max_out"] or 0),
         )
         return cls(edges=agg, degrees=degrees, vertices=vertices, stats=stats)
 
@@ -185,14 +195,38 @@ def dense_ids(df: DataFrame, key_cols: list[str]) -> DataFrame:
 
     The reference requires dense ids for its block partitioner
     (graph.rs:76-90); our algorithms accept arbitrary longs, but dense ids
-    keep corpus-derived graphs compact and labels reproducible. Implemented as
-    a total sort + ``zipWithIndex`` — the scalable (terasort-style) dense-rank,
-    avoiding the single-partition global window. Deterministic because the
-    rank is a pure function of the global sort order, not of partition
-    boundaries.
+    keep corpus-derived graphs compact and labels reproducible.
+
+    JVM-only two-pass dense rank (terasort-style, no Python row transfer —
+    this sits on the corpus ingest path, the ~10^12-row table at the north
+    star): range-partition by the keys, per-partition ``row_number`` window,
+    plus cumulative partition-count offsets (one tiny collect, one broadcast
+    join). Deterministic: RangePartitioner guarantees inter-partition key
+    ordering regardless of its boundary sampling, so id = global sort rank is
+    a pure function of the key set. The partitioned table is pinned with
+    ``materialize`` so the count pass and the rank pass see identical
+    partitions.
     """
-    distinct = df.select(*key_cols).distinct().orderBy(*key_cols)
+    from pyspark.sql import Window
+
+    from graftlouvain.functions.iterate import materialize
+
+    distinct = df.select(*key_cols).distinct()
+    parted = distinct.repartitionByRange(*key_cols).sortWithinPartitions(*key_cols)
+    with_pid = materialize(parted.withColumn("_pid", F.spark_partition_id()))
+    counts = sorted(
+        (int(r["_pid"]), int(r["n"]))
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
     spark = df.sparkSession
-    rdd = distinct.rdd.zipWithIndex().map(lambda pair: (*tuple(pair[0]), pair[1]))
-    schema = distinct.schema.add("id", "long", False)
-    return spark.createDataFrame(rdd, schema)
+    off_df = spark.createDataFrame(offsets or [], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
+    return (
+        with_pid.join(F.broadcast(off_df), "_pid")
+        .withColumn("id", (F.row_number().over(w) - F.lit(1) + F.col("_off")).cast("long"))
+        .select(*key_cols, "id")
+    )

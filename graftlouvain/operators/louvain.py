@@ -97,7 +97,28 @@ def singleton_modularity(graph: LinkGraph, reference_convention: bool = False) -
     return float(selfw) / s - float(sumdeg2) / (s * s)
 
 
-def move_scores(graph: LinkGraph, assignments: DataFrame) -> DataFrame:
+# A vertex whose adjacency row count exceeds BOTH bounds triggers salting of
+# the superstep's edge⋈assignment join (AQE — and hence its skew-join
+# splitting — is deliberately off inside superstep loops, see
+# functions.iterate.superstep_planning, so hub mitigation must be static).
+SKEW_SALT_MIN_DEGREE = 100_000
+SKEW_SALT_RATIO = 32.0
+SKEW_SALT_BUCKETS = 16
+
+
+def _auto_salt(graph: LinkGraph) -> int:
+    st = graph.stats
+    if (
+        st.max_out_degree > SKEW_SALT_MIN_DEGREE
+        and st.max_out_degree > SKEW_SALT_RATIO * st.avg_out_degree
+    ):
+        return SKEW_SALT_BUCKETS
+    return 1
+
+
+def move_scores(
+    graph: LinkGraph, assignments: DataFrame, salt_buckets: int | None = None
+) -> DataFrame:
     """Candidate-move scoring table [src, nbr_comm, cur_comm, k_ic, k_i, score]
     for one superstep (L2/L3 — the reference's unimplemented move phase,
     communities.rs:68-83, reconstructed).
@@ -109,23 +130,44 @@ def move_scores(graph: LinkGraph, assignments: DataFrame) -> DataFrame:
     excluded from k_{i→C} (constant too); the reference's
     ``neighboring_communities`` likewise never adds the self-loop target with
     special weight (communitystate.rs:147-163).
+
+    ``salt_buckets`` (default: auto from the graph's degree-skew stats) salts
+    the edge⋈assignment shuffle join: edge rows carry a deterministic salt
+    derived from ``src`` and the (small) assignment side is replicated per
+    salt, so a power-law hub's adjacency fans out over ``salt_buckets``
+    reducers instead of one straggler. Pure re-bucketing of a sum — results
+    are bit-identical (addition order within a group is already unordered in
+    a shuffle agg).
     """
     S = graph.two_m
+    if salt_buckets is None:
+        salt_buckets = _auto_salt(graph)
     # C4 — THE central superstep join (communitystate.rs:147-163): weights
     # from each vertex to each neighboring community. The vertex's own
     # community is unioned in as a zero-weight candidate BEFORE the single
     # aggregation (guaranteeing "stay" a defined score without a second
     # groupBy shuffle; adding 0.0 is exact in IEEE so sums are unchanged).
-    nbr_rows = (
-        graph.edges.where(F.col("src") != F.col("dst"))
-        .join(
-            assignments.select(
-                F.col("id").alias("dst"), F.col("community").alias("nbr_comm")
-            ),
-            "dst",
-        )
-        .select("src", "nbr_comm", F.col("weight").alias("k_ic"))
+    edges_ns = graph.edges.where(F.col("src") != F.col("dst"))
+    asg_dst = assignments.select(
+        F.col("id").alias("dst"), F.col("community").alias("nbr_comm")
     )
+    if salt_buckets > 1:
+        salted_e = edges_ns.withColumn(
+            "_salt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets))
+        )
+        salted_a = asg_dst.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))
+            ),
+        )
+        nbr_rows = salted_e.join(salted_a, ["dst", "_salt"]).select(
+            "src", "nbr_comm", F.col("weight").alias("k_ic")
+        )
+    else:
+        nbr_rows = edges_ns.join(asg_dst, "dst").select(
+            "src", "nbr_comm", F.col("weight").alias("k_ic")
+        )
     own = assignments.select(
         F.col("id").alias("src"),
         F.col("community").alias("nbr_comm"),
@@ -268,16 +310,28 @@ def louvain_level(
     level: int = 0,
     checkpointer=None,
     use_pandas: bool = False,
+    min_moves_frac: float = 0.0,
+    start_step: int = 0,
 ) -> tuple[DataFrame, LevelStats]:
     """L1 one_level (communities.rs:36-41): supersteps until a full even+odd
     pair produces zero moves (both parities of the oscillation gate must be
-    quiescent) or ``max_supersteps``."""
+    quiescent) or ``max_supersteps``.
+
+    ``min_moves_frac`` is the standard parallel-Louvain convergence slack
+    (cf. Lu, Halappanavar & Kalyanaraman 2015): the level also ends once two
+    consecutive supersteps each move fewer than ``min_moves_frac·V`` vertices
+    — dense quasi-random graphs otherwise churn to the superstep cap for
+    near-zero Q payoff. Default 0.0 keeps exact fixpoint semantics (the
+    oracle-pinned configuration). ``start_step`` resumes mid-level from a
+    checkpoint, preserving the even/odd gate parity.
+    """
     asg = assignments if assignments is not None else singleton_assignments(graph)
     stats = LevelStats(level=level)
+    move_slack = int(min_moves_frac * max(graph.stats.num_vertices, 1))
     zero_streak = 0
     with superstep_planning(graph.edges.sparkSession):
         asg = materialize(asg)
-        for step in range(max_supersteps):
+        for step in range(start_step, max_supersteps):
             t0 = time.monotonic()
             new_asg, n_moves = _superstep(graph, asg, step, gain_eps, use_pandas=use_pandas)
             if new_asg is not asg:
@@ -291,7 +345,7 @@ def louvain_level(
                     algorithm="louvain", level=level, superstep=step, assignments=asg,
                     moves=n_moves, wall_ms=wall,
                 )
-            zero_streak = zero_streak + 1 if n_moves == 0 else 0
+            zero_streak = zero_streak + 1 if n_moves <= move_slack else 0
             if zero_streak >= 2:
                 break
     return asg, stats
@@ -347,19 +401,64 @@ def louvain(
     min_q_gain: float = 1e-7,
     checkpointer=None,
     use_pandas: bool = False,
+    min_moves_frac: float = 0.0,
+    resume: bool = False,
 ) -> LouvainResult:
     """Full multi-level Louvain: local-move level → coarsen → repeat until the
     level's modularity gain < ``min_q_gain``. Final labels are unwound to
-    original vertex ids by joining through each level's assignment map."""
+    original vertex ids by joining through each level's assignment map.
+
+    ``resume=True`` (requires ``checkpointer``) restarts from the latest
+    committed superstep in the checkpoint manifest — the public crash-recovery
+    path (S4; the reference round-trips state the same way in its tests,
+    communitystate.rs:890-971): the level-local assignments are loaded from
+    the superstep snapshot, the coarse graph and global assignments from the
+    preceding level records, and the level continues at the next superstep
+    with the even/odd gate parity preserved. Supersteps are deterministic
+    given assignments, so a resumed run produces byte-identical labels.
+    ``LevelStats`` for levels completed before the crash are not replayed.
+    """
     global_asg = singleton_assignments(graph)
     cur = graph
     level_stats: list[LevelStats] = []
     q_prev = singleton_modularity(cur)
+    start_level = 0
+    resume_asg = None
+    resume_step = 0
+    if resume and checkpointer is not None:
+        rec = checkpointer.latest_superstep("louvain")
+        if rec is not None:
+            spark = graph.edges.sparkSession
+            start_level = int(rec["level"])
+            resume_step = int(rec["superstep"]) + 1
+            resume_asg = checkpointer.load_assignments(spark, rec)
+            if start_level > 0:
+                manifest = checkpointer.manifest()
+                coarse = [
+                    r for r in manifest
+                    if r["kind"] == "level" and r["algorithm"] == "louvain_coarse"
+                    and r["level"] == start_level
+                ][-1]
+                cur = LinkGraph.from_edges(
+                    spark.read.parquet(coarse["coarse_edges_path"]),
+                    pre_symmetrized=True,
+                )
+                lvl = [
+                    r for r in manifest
+                    if r["kind"] == "level" and r["algorithm"] == "louvain"
+                    and r["level"] == start_level - 1
+                ][-1]
+                global_asg = spark.read.parquet(lvl["assignments_path"])
+                q_prev = float(lvl["modularity"])
     q = q_prev
-    for level in range(max_levels):
+    for level in range(start_level, max_levels):
         asg, stats = louvain_level(
-            cur, max_supersteps=max_supersteps, gain_eps=gain_eps, level=level,
+            cur,
+            assignments=resume_asg if level == start_level else None,
+            max_supersteps=max_supersteps, gain_eps=gain_eps, level=level,
             checkpointer=checkpointer, use_pandas=use_pandas,
+            min_moves_frac=min_moves_frac,
+            start_step=resume_step if level == start_level else 0,
         )
         # Coarsen first, then read the level's Q off the coarse graph's
         # singleton partition (exactly equal, two scalar aggs instead of two

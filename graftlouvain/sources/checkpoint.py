@@ -33,22 +33,27 @@ class CheckpointManager:
 
     # -- write ------------------------------------------------------------
 
-    def _write(self, df: DataFrame, rel: str) -> tuple[str, list[dict]]:
+    def _write(self, df: DataFrame, rel: str) -> tuple[str, list[dict], int]:
         path = os.path.join(self.base_dir, rel)
         t0 = time.monotonic()
-        writer = df.write.mode("overwrite")
+        # Cache first, derive lineage from the cache, then write FROM the
+        # cache: one compute + one write, and the lineage describes the exact
+        # partition layout that lands in the files (a recompute after the
+        # write could lay partitions out differently under shuffle/AQE).
+        cached = df.cache()
+        lineage = [
+            {"partition_id": int(r["pid"]), "rows": int(r["rows"])}
+            for r in cached.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        ]
+        writer = cached.write.mode("overwrite")
         if self.table_format == "iceberg":
             writer.format("iceberg").save(path)
         else:
             writer.parquet(path)
+        cached.unpersist()
         wall_ms = int((time.monotonic() - t0) * 1000)
-        # per-partition lineage: rows per Spark partition of the written data
-        lineage = [
-            {"partition_id": int(r["pid"]), "rows": int(r["rows"])}
-            for r in df.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        ]
         return path, lineage, wall_ms
 
     def _append_manifest(self, record: dict) -> None:

@@ -48,7 +48,13 @@ def _sessionize(
         )
         return
 
-    rows = pd.concat(list(batches)).sort_values("ts")
+    # (ts, event_id) ordering matches the batch twin's window tiebreak.
+    # ACROSS micro-batches the operator assumes in-order arrival: an event
+    # landing in a later micro-batch with ts earlier than the open session's
+    # `last` is folded into it (gap computed vs `last`, never negative-split).
+    # For out-of-order sources, pre-sort the input or add a watermark buffer
+    # upstream — see sessionize_stream docstring.
+    rows = pd.concat(list(batches)).sort_values(["ts", "event_id"])
     ts = rows["ts"].astype("int64") // 1_000_000_000
     vals = rows["value"].fillna(0.0)
 
@@ -95,7 +101,14 @@ def sessionize_stream(
     flushes idle tails via processing-time timeouts — only for genuinely
     continuous streams: with a finite input the pending timeouts keep the
     micro-batch engine spinning, so the default (NoTimeout) leaves tails in
-    state and tests account for them."""
+    state and tests account for them.
+
+    In-order-input assumption: within a micro-batch events are sorted by
+    (ts, event_id) — the batch twin's exact tiebreak — but events that arrive
+    in a LATER micro-batch with a timestamp before the open session's last
+    event are folded into that session rather than re-splitting it. Feed
+    time-ordered files (or watermark-buffer upstream) when batch parity
+    matters."""
     reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 2)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -105,7 +118,7 @@ def sessionize_stream(
         else GroupStateTimeout.NoTimeout
     )
     return (
-        stream.select("user_id", "ts", "value")
+        stream.select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize,

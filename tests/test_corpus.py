@@ -115,9 +115,9 @@ def test_combined_edges_louvain_recovers_repos(spark, corpus, files):
     assert purity >= 0.9
 
 
-def test_checkpoint_resume(spark, tmp_path):
-    """Kill after superstep k, resume from manifest, final labels identical
-    (SURVEY.md §5 resume test)."""
+def test_checkpoint_resume_one_level(spark, tmp_path):
+    """Kill after superstep k of level 0, resume through the PUBLIC louvain_level
+    API (start_step + loaded assignments), final labels identical."""
     g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
     full_asg, full_stats = louvain_level(g)
     want = {r["id"]: r["community"] for r in full_asg.collect()}
@@ -129,18 +129,47 @@ def test_checkpoint_resume(spark, tmp_path):
     assert rec is not None and rec["superstep"] == 1
     assert rec["lineage"] and sum(p["rows"] for p in rec["lineage"]) == 34
 
-    # resume: load checkpointed assignments, continue from the next superstep
-    resumed = ck.load_assignments(spark, rec)
-    from graftlouvain.functions.iterate import materialize, swap
-    from graftlouvain.operators.louvain import _superstep
-    asg = materialize(resumed)
-    step = rec["superstep"] + 1
-    zero_streak = 0
-    while zero_streak < 2 and step < 64:
-        new_asg, n = _superstep(g, asg, step, 1e-12)
-        if new_asg is not asg:
-            asg = swap(asg, new_asg)
-        zero_streak = zero_streak + 1 if n == 0 else 0
-        step += 1
-    got = {r["id"]: r["community"] for r in asg.collect()}
+    resumed, _ = louvain_level(
+        g,
+        assignments=ck.load_assignments(spark, rec),
+        start_step=rec["superstep"] + 1,
+    )
+    got = {r["id"]: r["community"] for r in resumed.collect()}
     assert got == want
+
+
+def test_checkpoint_resume_full_louvain(spark, tmp_path):
+    """Crash mid-run (manifest truncated to a committed superstep inside the
+    LAST level), resume through the public ``louvain(..., resume=True)`` API —
+    final labels byte-identical to the uninterrupted run."""
+    import json
+
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    want_res = louvain(g)
+    want = {r["id"]: r["community"] for r in want_res.assignments.collect()}
+
+    ckdir = str(tmp_path / "ck")
+    ck = CheckpointManager(ckdir)
+    louvain(g, checkpointer=ck)
+    records = ck.manifest()
+    sup_levels = [r["level"] for r in records if r["kind"] == "superstep"]
+    assert sup_levels, "expected superstep records"
+    last_level = max(sup_levels)
+    assert last_level >= 1, "fixture should coarsen through >= 2 levels"
+    # simulate the crash: keep the manifest only up to the FIRST committed
+    # superstep of the last level (all later lines never committed)
+    cut = next(
+        i for i, r in enumerate(records)
+        if r["kind"] == "superstep" and r["level"] == last_level
+    )
+    with open(ck.manifest_path) as f:
+        lines = [ln for ln in f if ln.strip()]
+    with open(ck.manifest_path, "w") as f:
+        f.writelines(lines[: cut + 1])
+
+    res = louvain(g, checkpointer=CheckpointManager(ckdir), resume=True)
+    got = {r["id"]: r["community"] for r in res.assignments.collect()}
+    assert got == want
+    assert abs(res.modularity - want_res.modularity) < 1e-12
+    # the resumed run must have skipped the completed earlier levels
+    assert res.levels[0].level == last_level

@@ -126,3 +126,36 @@ def test_metrics_table(spark):
     assert len(rows) == sum(s.supersteps for s in res.levels)
     assert sum(r["moves"] for r in rows) > 0
     assert all(r["wall_ms"] >= 0 for r in rows)
+
+
+def test_salted_move_scores_identical(spark):
+    """Skew salting of the superstep edge⋈assignment join is a pure
+    re-bucketing: scores and full-level labels are identical with and
+    without salting on the hub fixture."""
+    from pyspark.sql import functions as F
+
+    from graftlouvain.operators.louvain import move_scores
+
+    g = LinkGraph.from_edges(to_df(spark, fixture_hub(n_blocks=4, block_size=8)))
+    asg = singleton_assignments(g)
+    plain = {
+        (r["src"], r["nbr_comm"]): (r["k_ic"], round(r["score"], 9))
+        for r in move_scores(g, asg, salt_buckets=1).collect()
+    }
+    salted = {
+        (r["src"], r["nbr_comm"]): (r["k_ic"], round(r["score"], 9))
+        for r in move_scores(g, asg, salt_buckets=8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_level_labels_identical(spark, monkeypatch):
+    """Force auto-salting on (threshold 0) — full-level labels unchanged."""
+    import graftlouvain.operators.louvain as lv
+
+    g = LinkGraph.from_edges(to_df(spark, fixture_hub(n_blocks=4, block_size=8)))
+    want = _labels(louvain_level(g)[0])
+    monkeypatch.setattr(lv, "SKEW_SALT_MIN_DEGREE", 0)
+    monkeypatch.setattr(lv, "SKEW_SALT_RATIO", 0.0)
+    got = _labels(louvain_level(g)[0])
+    assert got == want

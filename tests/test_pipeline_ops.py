@@ -137,6 +137,22 @@ def test_embedding_near_dup_pairs(spark, vectors):
     assert all(not (a < 5 <= b < 10) for a, b in pairs)  # no cross-cluster
 
 
+def test_embedding_near_dup_lsh_matches_exact(spark, vectors):
+    """The LSH-bucketed scale path must find the SAME pairs as the exact
+    all-pairs baseline on planted near-dup clusters, without a cross join."""
+    from graftlouvain.operators.similarity import embedding_near_dup_pairs_lsh
+
+    exact = {
+        (r["a"], r["b"], r["cosine"])
+        for r in embedding_near_dup_pairs(vectors, 0.99).collect()
+    }
+    lsh_df = embedding_near_dup_pairs_lsh(vectors, dim=16, threshold=0.99)
+    lsh = {(r["a"], r["b"], r["cosine"]) for r in lsh_df.collect()}
+    assert lsh == exact
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_lang_id(spark, docs):
     out = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
     assert out[0] == "en"
