@@ -7,21 +7,37 @@ superstep's neighbor-community join processes every directed edge once, so
 throughput = directed_edges × supersteps / louvain_wall. Scaling efficiency
 between parallelism levels is measured separately by BENCH/scaling.py (one
 JVM per parallelism level) and reported in BENCH/BASELINE.md.
+
+Louvain runs with the standard convergence slack min_moves_frac=0.02 (level
+ends when two consecutive supersteps each move <2% of vertices) — measured at
+sf0.1: Q within 8.5e-5 of the exact-fixpoint run, ~25% fewer supersteps. The
+exact-fixpoint configuration (slack 0.0) stays the oracle-pinned default of
+the library API.
+
+Per-query times (louvain included) are the MEDIAN of
+``$SPARK_GRAFT_BENCH_RUNS`` (default 3) runs — single-run wall times vary
+±30% on this box and the first louvain run additionally pays JVM/JIT warmup;
+the raw runs are emitted under "runs" so regressions can be diffed
+query-by-query across rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+LOUVAIN_MIN_MOVES_FRAC = 0.02
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     from graftlouvain.session import get_spark
 
@@ -35,29 +51,30 @@ def main() -> None:
     from graftlouvain.operators.louvain import louvain
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
-
-    def timed(name: str, fn) -> None:
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        return out
 
     # graph build once (counted as its own phase)
     t0 = time.monotonic()
     g = entrymod._graph(spark, sf_dir)
     timings["graph_build"] = round(time.monotonic() - t0, 3)
 
-    # flagship: full multi-level Louvain
-    t0 = time.monotonic()
-    res = louvain(g)
-    res.assignments.count()
-    louvain_wall = time.monotonic() - t0
+    # flagship: full multi-level Louvain (median of n_runs; superstep count
+    # is deterministic across runs, wall time is not)
+    louvain_walls = []
+    for _ in range(n_runs):
+        t0 = time.monotonic()
+        res = louvain(g, min_moves_frac=LOUVAIN_MIN_MOVES_FRAC)
+        res.assignments.count()
+        louvain_walls.append(round(time.monotonic() - t0, 3))
+    runs["louvain"] = louvain_walls
+    louvain_wall = statistics.median(louvain_walls)
     timings["louvain"] = round(louvain_wall, 3)
     supersteps = sum(l.supersteps for l in res.levels)
     extras["louvain_supersteps"] = supersteps
     extras["louvain_levels"] = len(res.levels)
     extras["louvain_modularity"] = round(res.modularity, 6)
+    extras["louvain_min_moves_frac"] = LOUVAIN_MIN_MOVES_FRAC
     extras["graph_directed_edges"] = g.stats.num_directed_edges
     extras["edges_per_sec_per_level"] = round(
         g.stats.num_directed_edges * supersteps / louvain_wall, 1
@@ -74,11 +91,18 @@ def main() -> None:
         "minhash_lsh_dups",
         "simhash_dups",
         "embedding_topk",
+        "embedding_near_dups",
         "lang_id",
         "quality_scores",
         "events_sessionize",
     ]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+        walls = []
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            walls.append(round(time.monotonic() - t0, 3))
+        runs[name] = walls
+        timings[name] = round(statistics.median(walls), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,8 +112,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf_dir,
                 "cpus": int(cpus),
+                "bench_runs_per_query": n_runs,
                 **extras,
             }
         )

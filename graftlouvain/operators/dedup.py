@@ -69,12 +69,12 @@ def doc_ngrams(
 
 
 def _gram_tables(
-    docs: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int
+    grams: DataFrame, max_doc_freq: int
 ) -> tuple[DataFrame, DataFrame]:
-    """(rare, sizes): rare = (doc_id, gram) pairs whose gram appears in at most
-    ``max_doc_freq`` docs (hot-bucket guard for pair generation); sizes = full
-    per-doc distinct-gram counts (union sizes stay exact)."""
-    grams = doc_ngrams(docs, id_col, text_col, n)
+    """(rare, sizes) from an exploded (doc_id, gram) table: rare = pairs whose
+    gram appears in at most ``max_doc_freq`` docs (hot-bucket guard for pair
+    generation); sizes = full per-doc distinct-gram counts (union sizes stay
+    exact)."""
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     rare = grams.join(
@@ -114,7 +114,7 @@ def ngram_jaccard_pairs(
     J is computed on the intersection restricted to rare grams over true union
     size — a conservative (recall-lowering, precision-keeping) approximation
     applied identically in the SQL oracle."""
-    rare, sizes = _gram_tables(docs, id_col, text_col, n, max_doc_freq)
+    rare, sizes = _gram_tables(doc_ngrams(docs, id_col, text_col, n), max_doc_freq)
     a = rare.select(F.col("doc_id").alias("a"), "gram")
     b = rare.select(F.col("doc_id").alias("b"), "gram")
     inter = (
@@ -143,6 +143,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 8,
     num_hashes: int = 64,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """[doc_id, sig: array<long>] — sig[j] = min over grams of (h1 + j·h2)
     with (h1, h2) derived from md5(gram) (:func:`_md5_pair`).
@@ -159,7 +160,8 @@ def minhash_signatures(
     seed — measured 568 s vs seconds at sf0.1.
     """
     assert num_hashes <= 64, "affine family sized for j ≤ 63 (overflow bound)"
-    grams = doc_ngrams(docs, id_col, text_col, n)
+    if grams is None:
+        grams = doc_ngrams(docs, id_col, text_col, n)
     h1, h2 = _md5_pair(F.col("gram"))
     hashed = grams.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
@@ -183,14 +185,27 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     verify_exact: bool = True,
     max_doc_freq: int = 100,
+    eager: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     num_hashes/bands rows; docs colliding in ANY band are candidates; with
     ``verify_exact`` the candidates are post-filtered by exact n-gram Jaccard
-    ≥ threshold (same computation as :func:`ngram_jaccard_pairs`)."""
+    ≥ threshold (same computation as :func:`ngram_jaccard_pairs`) restricted
+    to the candidate set.
+
+    ``eager`` (default) materializes the exploded gram table ONCE and shares
+    it between the signature pass and the verification pass — otherwise each
+    pass re-scans and re-explodes the corpus (the gram explode is the
+    dominant scan cost). The returned DataFrame is then already computed and
+    the intermediate is unpersisted before returning (no cache leak)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    grams = doc_ngrams(docs, id_col, text_col, n)
+    if eager and verify_exact:
+        from graftlouvain.functions.iterate import materialize
+
+        grams = materialize(grams)
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, grams=grams)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -221,14 +236,20 @@ def minhash_lsh_pairs(
     # O(candidates × grams/doc), never the all-pairs gram self-join (which
     # would defeat LSH at scale): attach a's rare grams to each candidate
     # pair, then count how many also belong to b.
-    rare, sizes = _gram_tables(docs, id_col, text_col, n, max_doc_freq)
+    rare, sizes = _gram_tables(grams, max_doc_freq)
     ga = cands.join(rare.select(F.col("doc_id").alias("a"), "gram"), "a")
     inter = (
         ga.join(rare.select(F.col("doc_id").alias("b"), "gram"), ["b", "gram"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _jaccard_from_inter(inter, sizes, threshold)
+    out = _jaccard_from_inter(inter, sizes, threshold)
+    if eager and verify_exact:
+        from graftlouvain.functions.iterate import materialize
+
+        out = materialize(out)
+        grams.unpersist()
+    return out
 
 
 def simhash64(
@@ -289,18 +310,36 @@ def simhash64(
 def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Candidate pairs sharing any 16-bit band, verified by exact Hamming
-    distance ≤ max_hamming (bit_count of XOR — JVM-side)."""
-    sigs = simhash64(docs, id_col, text_col).cache()
-    cands = None
-    for b in range(4):
-        left = sigs.select(F.col(f"band{b}").alias("k"), F.col("doc_id").alias("a"),
-                           F.col("simhash").alias("sa"))
-        right = sigs.select(F.col(f"band{b}").alias("k"), F.col("doc_id").alias("b"),
-                            F.col("simhash").alias("sb"))
-        c = left.join(right, "k").where(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
-        cands = c if cands is None else cands.unionByName(c)
+    distance ≤ max_hamming (bit_count of XOR — JVM-side).
+
+    Single-pass plan: signatures are EXPLODED into (doc_id, band, bucket,
+    simhash) rows — one self-join on (band, bucket) instead of four joins
+    against a cached signature table (no lingering cache, signatures computed
+    once feeding the explode)."""
+    sigs = simhash64(docs, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    left = banded.select(
+        "band", "bucket", F.col("doc_id").alias("a"), F.col("simhash").alias("sa")
+    )
+    right = banded.select(
+        "band", "bucket", F.col("doc_id").alias("b"), F.col("simhash").alias("sb")
+    )
     return (
-        cands.distinct()
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

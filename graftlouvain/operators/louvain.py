@@ -209,8 +209,28 @@ def move_scores(
     )
 
 
+def _best_moves_agg(scored: DataFrame) -> DataFrame:
+    """Argmax per vertex via hash aggregate (``max_by`` over a lexicographic
+    (score, −nbr_comm) struct) — the default physical path: one shuffle with
+    map-side partial aggregation and NO sort, vs the window path's
+    shuffle+sort per superstep. Tie semantics identical to the window rank
+    (score desc, then smallest community id — community ids are vertex ids,
+    hence nonnegative, so negation is order-reversing); pinned equal by
+    tests and by the exact-label oracle fixtures."""
+    ord_key = F.struct(F.col("score"), (-F.col("nbr_comm")).alias("neg"))
+    return scored.groupBy("src").agg(
+        F.max_by("nbr_comm", ord_key).alias("nbr_comm"),
+        F.max_by("score", ord_key).alias("score"),
+        F.max("cur_comm").alias("cur_comm"),  # constant within the group
+        F.max(
+            F.when(F.col("nbr_comm") == F.col("cur_comm"), F.col("score"))
+        ).alias("stay_score"),
+    )
+
+
 def _best_moves_window(scored: DataFrame) -> DataFrame:
-    """Argmax per vertex via window rank — the default JVM-only physical path."""
+    """Argmax per vertex via window rank — alternative JVM physical path
+    (kept for the equivalence pin; the hash-aggregate path avoids its sort)."""
     w_rank = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("nbr_comm"))
     w_all = Window.partitionBy("src")
     return (
@@ -264,7 +284,7 @@ def _superstep(
     state, argmax per vertex (ties → smallest community id), apply
     strictly-improving moves that pass the even/odd direction gate."""
     scored = move_scores(graph, assignments)
-    best = _best_moves_pandas(scored) if use_pandas else _best_moves_window(scored)
+    best = _best_moves_pandas(scored) if use_pandas else _best_moves_agg(scored)
 
     direction = (
         (F.col("nbr_comm") < F.col("cur_comm"))

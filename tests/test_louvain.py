@@ -112,11 +112,39 @@ def test_hub_partition_recovers_blocks(spark):
 
 def test_pandas_argmax_path_matches_window(spark):
     """The Arrow grouped-map argmax (north-star pandas-UDF local phase) must
-    produce the exact same labels as the window path."""
+    produce the exact same labels as the default (hash-aggregate) path."""
     g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
     asg_w, _ = louvain_level(g, use_pandas=False)
     asg_p, _ = louvain_level(g, use_pandas=True)
     assert _labels(asg_w) == _labels(asg_p)
+
+
+def test_argmax_physical_paths_equal(spark):
+    """All three argmax physical strategies — hash-agg max_by (default),
+    window rank, Arrow grouped-map — produce identical best moves from the
+    same scored table, including tie cases."""
+    from graftlouvain.operators.louvain import (
+        _best_moves_agg,
+        _best_moves_pandas,
+        _best_moves_window,
+        move_scores,
+    )
+
+    for edges in (FIXTURE_KARATE_W, fixture_hub()):
+        g = LinkGraph.from_edges(to_df(spark, edges))
+        scored = move_scores(g, singleton_assignments(g))
+        cols = ["src", "nbr_comm", "score", "cur_comm", "stay_score"]
+
+        def key(df):
+            return sorted(
+                (r["src"], r["nbr_comm"], round(r["score"], 9), r["cur_comm"],
+                 round(r["stay_score"], 9))
+                for r in df.select(*cols).collect()
+            )
+
+        a = key(_best_moves_agg(scored))
+        assert a == key(_best_moves_window(scored))
+        assert a == key(_best_moves_pandas(scored))
 
 
 def test_metrics_table(spark):
