@@ -289,6 +289,18 @@ def q_embedding_topk(spark, sf):
     )
 
 
+def q_ivf_topk(spark, sf):
+    """IVF ANN top-5 for query vectors vec_id < 10: deterministic md5-sampled
+    centroids, argmax cell assignment, 8-cell probing, exact re-rank — the
+    cell-partitioned similarity-search scale path, fully SQL-oracled."""
+    from graftlouvain.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf, "embeddings")
+    return ivf_topk(
+        emb.where("vec_id < 10"), emb, k=5, n_centroids=32, n_probe=8
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
 def q_embedding_near_dups(spark, sf):
     """Cosine near-duplicate pairs (≥ 0.99) among vec_id < 100 — routed
     through the LSH-bucketed scale path (no CartesianProduct in the plan);
@@ -442,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -852,6 +865,48 @@ ranked AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
     )
+
+    _SIM = ("ROUND(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+            " / (SQRT(list_sum(list_transform({a}, x -> x * x)))"
+            " * SQRT(list_sum(list_transform({b}, x -> x * x)))), 6)")
+    sql["ivf_topk"] = f"""
+WITH qd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+cent AS (
+  SELECT vec_id AS cell, v AS cv FROM qd
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 32
+),
+asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT q.vec_id, q.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_SIM.format(a='q.v', b='c.cv')} DESC,
+                                       c.cell ASC) AS rn
+    FROM qd q CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+probed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_SIM.format(a='q.v', b='c.cv')} DESC,
+                                       c.cell ASC) AS pr
+    FROM qd q CROSS JOIN cent c WHERE q.vec_id < 10
+  ) t WHERE pr <= 8
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {_SIM.format(a='p.qv', b='a.v')} AS cosine
+  FROM probed p JOIN asg a ON a.cell = p.cell
+  WHERE p.query_id != a.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
 
     sql["embedding_near_dups"] = (
         "WITH "

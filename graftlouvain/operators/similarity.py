@@ -153,6 +153,95 @@ def lsh_topk(
     )
 
 
+def ivf_cells(
+    vectors: DataFrame,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned) — IVF coarse quantizer with deterministic
+    centroid init: the ``n_centroids`` corpus vectors with the smallest
+    md5(vec_id) (a seeded uniform sample — the standard random-subset init;
+    k-means refinement is an optional extra pass, not needed for the
+    recall/scale structure). ``centroids`` = [cell, cv]; ``assigned`` =
+    [vec_id, v, cell] with cell = argmax cosine against the (broadcast)
+    centroid table. Assignment cost is N × C rows — the standard IVF build;
+    C is small, so the join is a broadcast with no corpus shuffle."""
+    v = _as_double(vectors, vec_col)
+    base = vectors.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    pick = base.select(
+        "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("_h")
+    ).orderBy("_h").limit(n_centroids)
+    centroids = pick.select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    # sims rounded to 6dp BEFORE the argmax (and likewise in probing below):
+    # rank decisions then survive cross-engine float-summation differences in
+    # the DuckDB oracle, same defense as cosine_topk's rounded ranking.
+    scored = (
+        base.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))), 6
+            ),
+        )
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("sim"), (-F.col("cell")).alias("neg"))).alias("cell"),
+        F.first("v").alias("v"),
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into Voronoi cells of
+    deterministic centroids; each query probes its ``n_probe`` nearest cells
+    and exact-cosine re-ranks only those cells' members. Same output schema
+    as :func:`cosine_topk`. Complements :func:`lsh_topk` — IVF gives tunable
+    probe/recall and cell-local data locality (cells are the natural
+    partitioning key for a 100 TB corpus)."""
+    centroids, assigned = ivf_cells(corpus, n_centroids, id_col, vec_col)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(queries, vec_col).alias("qv")
+    )
+    qcells = (
+        qv.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+            ),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cands = (
+        probed.join(assigned.select("cell", "vec_id", F.col("v").alias("cv")), "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "qv", "cv")
+    )
+    scored = with_cosine(cands)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs_lsh(
     vectors: DataFrame,
     dim: int,

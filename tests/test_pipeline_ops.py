@@ -220,3 +220,17 @@ def test_hash_sample_deterministic(spark):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_ivf_topk_recall(spark, vectors):
+    """IVF probe path: with enough probes (8 of 16 cells) recall vs brute
+    force is high on clustered data; schema identical to cosine_topk."""
+    from graftlouvain.operators.similarity import ivf_topk
+
+    exact = cosine_topk(vectors.where("vec_id < 3"), vectors, k=4)
+    approx = ivf_topk(vectors.where("vec_id < 3"), vectors, k=4,
+                      n_centroids=16, n_probe=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert approx.columns == exact.columns
+    assert len(e & a) / len(e) >= 0.75

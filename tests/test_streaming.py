@@ -71,3 +71,32 @@ def test_stateful_sessionization(spark):
     # inside processAllAvailable)
     for u, t in total.items():
         assert closed.get(u, 0) == t - 1
+
+
+def test_stream_dedup_matches_batch(spark):
+    """Streaming first-occurrence dedup keeps exactly the batch operator's
+    distinct content hashes (one row per hash)."""
+    from graftlouvain.operators.dedup import exact_dedup
+    from graftlouvain.streaming.dedup import dedup_stream
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_stream(spark, sf, glob="documents.parquet")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_stream_test").collect()
+    finally:
+        q.stop()
+    got = [r["content_sha"] for r in rows]
+    assert len(got) == len(set(got))  # one row per hash
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    want = {
+        r["content_sha"]
+        for r in exact_dedup(docs).select("content_sha").distinct().collect()
+    }
+    assert set(got) == want
