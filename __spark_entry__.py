@@ -551,12 +551,17 @@ _MD5_PAIR = """
 
 
 def _minhash_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
-    """MinHash(md5 affine double-hash family) + banded LSH + candidate-
+    """MinHash (md5 + Carter-Wegman mod-p family, coefficients shared with
+    the Spark operator via dedup.minhash_coeffs) + banded LSH + candidate-
     restricted exact Jaccard — the DuckDB twin of
     graftlouvain.operators.dedup.minhash_lsh_pairs."""
+    from graftlouvain.operators.dedup import MINHASH_P as P
+    from graftlouvain.operators.dedup import minhash_coeffs
+
     r = num_hashes // bands
     sig_cols = ",\n         ".join(
-        f"MIN(h1 + {j} * h2) AS s{j}" for j in range(num_hashes)
+        f"MIN((({a} * h1) % {P} + ({c} * h2) % {P}) % {P}) AS s{j}"
+        for j, (a, c) in enumerate(minhash_coeffs(num_hashes))
     )
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, CONCAT_WS(',', "
@@ -566,8 +571,9 @@ def _minhash_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) 
     )
     gh = _MD5_PAIR.format(col="gram", src="grams")
     return f"""WITH {_NGRAM_DOCS_CTE.strip()},
-gh AS ({gh}
+gh0 AS ({gh}
 ),
+gh AS (SELECT doc_id, h1 % {P} AS h1, h2 % {P} AS h2 FROM gh0),
 sig AS (
   SELECT doc_id,
          {sig_cols}
