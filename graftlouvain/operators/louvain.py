@@ -291,26 +291,27 @@ def _superstep(
         if step % 2 == 0
         else (F.col("nbr_comm") > F.col("cur_comm"))
     )
-    # Materialize the (small) move set ONCE — the heavy scored plan runs a
-    # single time per superstep; the assignment update then joins two already-
-    # materialized tiny tables (replaces the reference's per-round buffer
-    # lifecycle, messagemanager.rs:328-393). Callers run state hygiene via
-    # functions.iterate (lineage cut + truthful planner statistics).
-    moves = best.where(
+    # ``best`` already carries one row per vertex with its current community
+    # (the own community is always a scored candidate), so the next state is
+    # a pure PROJECTION of it — no separate move-set materialization and no
+    # assignments⋈moves join (the reference's per-round buffer lifecycle,
+    # messagemanager.rs:328-393, dissolves entirely). The heavy scored plan
+    # runs exactly once (the caller's swap/materialize); the move count is a
+    # scalar aggregate over the materialized state.
+    gate = (
         (F.col("nbr_comm") != F.col("cur_comm"))
         & (F.col("score") > F.col("stay_score") + F.lit(gain_eps))
         & direction
-    ).select(
-        F.col("src").alias("id"), F.col("nbr_comm").alias("new_comm")
-    ).localCheckpoint(eager=False)
-    n_moves = moves.count()  # materializes the lazy checkpoint in this one job
-    if n_moves == 0:
-        return assignments, 0
-
-    new_asg = assignments.join(moves, "id", "left").select(
-        "id", F.coalesce("new_comm", "community").cast("long").alias("community")
     )
-    return new_asg, n_moves
+    new_asg = best.select(
+        F.col("src").alias("id"),
+        F.when(gate, F.col("nbr_comm"))
+        .otherwise(F.col("cur_comm"))
+        .cast("long")
+        .alias("community"),
+        gate.cast("int").alias("_moved"),
+    )
+    return new_asg, -1  # n_moves read off the materialized state by the caller
 
 
 @dataclass
@@ -353,9 +354,14 @@ def louvain_level(
         asg = materialize(asg)
         for step in range(start_step, max_supersteps):
             t0 = time.monotonic()
-            new_asg, n_moves = _superstep(graph, asg, step, gain_eps, use_pandas=use_pandas)
-            if new_asg is not asg:
-                asg = swap(asg, new_asg)
+            new_asg, _ = _superstep(graph, asg, step, gain_eps, use_pandas=use_pandas)
+            # One materialization per superstep (heavy plan runs exactly once);
+            # the move count is then a scalar aggregate over checkpointed data.
+            asg_m = swap(asg, new_asg)
+            n_moves = int(
+                asg_m.agg(F.sum("_moved").alias("m")).first()["m"] or 0
+            )
+            asg = asg_m.select("id", "community")
             wall = int((time.monotonic() - t0) * 1000)
             stats.supersteps += 1
             stats.moves.append(n_moves)
