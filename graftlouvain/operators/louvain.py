@@ -138,10 +138,19 @@ def move_scores(
     reducers instead of one straggler. Pure re-bucketing of a sum — results
     are bit-identical (addition order within a group is already unordered in
     a shuffle agg).
+
+    ``assignments`` may carry the vertex degree as a ``k_i`` column (the
+    level loop's state table does); community totals and per-vertex degrees
+    are then read straight off the state — two fewer O(V) shuffle joins per
+    superstep than joining ``graph.degrees`` each time.
     """
     S = graph.two_m
     if salt_buckets is None:
         salt_buckets = _auto_salt(graph)
+    if "k_i" not in assignments.columns:
+        assignments = assignments.join(
+            graph.degrees.select("id", F.col("degree").alias("k_i")), "id"
+        )
     # C4 — THE central superstep join (communitystate.rs:147-163): weights
     # from each vertex to each neighboring community. The vertex's own
     # community is unioned in as a zero-weight candidate BEFORE the single
@@ -181,19 +190,19 @@ def move_scores(
 
     # Community totals (tot_C = Σ member degrees), recomputed per superstep —
     # replaces the reference's delta maintenance (communitystate.rs:96-132).
+    # No degrees join: k_i rides on the state table.
     tot = (
-        assignments.join(graph.degrees, "id")
-        .groupBy(F.col("community").alias("nbr_comm"))
-        .agg(F.sum("degree").alias("tot"))
+        assignments.groupBy(F.col("community").alias("nbr_comm"))
+        .agg(F.sum("k_i").alias("tot"))
     )
 
-    cur = assignments.select(F.col("id").alias("src"), F.col("community").alias("cur_comm"))
-    deg = graph.degrees.select(F.col("id").alias("src"), F.col("degree").alias("k_i"))
+    cur = assignments.select(
+        F.col("id").alias("src"), F.col("community").alias("cur_comm"), "k_i"
+    )
 
     return (
         cand.join(tot, "nbr_comm")
         .join(cur, "src")
-        .join(deg, "src")
         .withColumn(
             "score",
             F.col("k_ic")
@@ -222,6 +231,7 @@ def _best_moves_agg(scored: DataFrame) -> DataFrame:
         F.max_by("nbr_comm", ord_key).alias("nbr_comm"),
         F.max_by("score", ord_key).alias("score"),
         F.max("cur_comm").alias("cur_comm"),  # constant within the group
+        F.max("k_i").alias("k_i"),  # constant within the group
         F.max(
             F.when(F.col("nbr_comm") == F.col("cur_comm"), F.col("score"))
         ).alias("stay_score"),
@@ -309,6 +319,7 @@ def _superstep(
         .otherwise(F.col("cur_comm"))
         .cast("long")
         .alias("community"),
+        F.col("k_i"),  # degree rides on the state — no per-superstep deg join
         gate.cast("int").alias("_moved"),
     )
     return new_asg, -1  # n_moves read off the materialized state by the caller
@@ -351,30 +362,38 @@ def louvain_level(
     move_slack = int(min_moves_frac * max(graph.stats.num_vertices, 1))
     zero_streak = 0
     with superstep_planning(graph.edges.sparkSession):
-        asg = materialize(asg)
+        # level-loop state = [id, community, k_i]: the degree is joined in
+        # ONCE here and then rides through every superstep projection, so the
+        # loop never shuffles graph.degrees again.
+        if "k_i" not in asg.columns:
+            asg = asg.join(
+                graph.degrees.select("id", F.col("degree").alias("k_i")), "id"
+            )
+        state = materialize(asg)
         for step in range(start_step, max_supersteps):
             t0 = time.monotonic()
-            new_asg, _ = _superstep(graph, asg, step, gain_eps, use_pandas=use_pandas)
+            new_state, _ = _superstep(graph, state, step, gain_eps, use_pandas=use_pandas)
             # One materialization per superstep (heavy plan runs exactly once);
             # the move count is then a scalar aggregate over checkpointed data.
-            asg_m = swap(asg, new_asg)
+            state_m = swap(state, new_state)
             n_moves = int(
-                asg_m.agg(F.sum("_moved").alias("m")).first()["m"] or 0
+                state_m.agg(F.sum("_moved").alias("m")).first()["m"] or 0
             )
-            asg = asg_m.select("id", "community")
+            state = state_m.select("id", "community", "k_i")
             wall = int((time.monotonic() - t0) * 1000)
             stats.supersteps += 1
             stats.moves.append(n_moves)
             stats.wall_ms.append(wall)
             if checkpointer is not None:
                 checkpointer.save_superstep(
-                    algorithm="louvain", level=level, superstep=step, assignments=asg,
+                    algorithm="louvain", level=level, superstep=step,
+                    assignments=state.select("id", "community"),
                     moves=n_moves, wall_ms=wall,
                 )
             zero_streak = zero_streak + 1 if n_moves <= move_slack else 0
             if zero_streak >= 2:
                 break
-    return asg, stats
+    return state.select("id", "community"), stats
 
 
 def coarsen(graph: LinkGraph, assignments: DataFrame) -> LinkGraph:
