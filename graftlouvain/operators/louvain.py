@@ -27,10 +27,13 @@ Halappanavar & Kalyanaraman 2015). ΔQ of an applied move is
 moved vertex against frozen state.
 
 Shuffle budget per superstep (the whole MPI message layer of the reference,
-messagemanager.rs, dissolves into these): one groupBy(src, nbr_comm), one join
-on nbr_comm (community totals), one window on src. Assignments/degrees stay
-hash-partitioned on vertex id (session-level partition count) so edge-side
-joins are co-partitioned.
+messagemanager.rs, dissolves into these): one edge⋈state join, one
+groupBy(src, nbr_comm), one join on nbr_comm (community totals — computed
+straight off the state, which carries k_i), one hash-aggregate argmax on src
+(max_by — no sort). The next state is a projection of the argmax output, so
+there is exactly ONE materialization per superstep and the move count is a
+scalar aggregate over it. State stays hash-partitioned on vertex id
+(session-level partition count) so edge-side joins are co-partitioned.
 """
 
 from __future__ import annotations
