@@ -24,6 +24,7 @@ from __future__ import annotations
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -76,3 +77,21 @@ def swap(old: DataFrame | None, new: DataFrame) -> DataFrame:
         except Exception:
             pass
     return out
+
+
+def swap_observed(
+    old: DataFrame | None, new: DataFrame, metric_col: str
+) -> tuple[DataFrame, int]:
+    """:func:`swap` + read ``sum(metric_col)`` observed DURING the
+    materialization pass (Spark ``Observation`` / CollectMetrics): convergence
+    counters cost zero extra jobs and zero extra passes over the state —
+    previously every fixpoint loop here paid either a second scalar-aggregate
+    job (Louvain moves) or a full old⋈new join + count (CC/LPA changed-count)
+    per superstep."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = new.observe(obs, F.sum(F.col(metric_col)).alias("m"))
+    out = swap(old, observed)
+    val = obs.get["m"]
+    return out, int(val or 0)

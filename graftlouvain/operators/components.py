@@ -14,12 +14,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, superstep_planning
+from graftlouvain.functions.iterate import materialize, superstep_planning, swap_observed
 from graftlouvain.operators.graph import LinkGraph
 
 
 def components(graph: LinkGraph, max_iter: int = 200) -> DataFrame:
-    """Returns [id, component] with component = min vertex id reachable."""
+    """Returns [id, component] with component = min vertex id reachable.
+
+    Convergence: min-label only decreases, so ``changed`` =
+    Σ[new < old], computed as an observed metric during the state
+    materialization itself — no old⋈new comparison join per superstep."""
     with superstep_planning(graph.edges.sparkSession):
         labels = materialize(graph.vertices.select("id", F.col("id").alias("component")))
         for _i in range(max_iter):
@@ -31,19 +35,14 @@ def components(graph: LinkGraph, max_iter: int = 200) -> DataFrame:
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.min("c").alias("nbr_min"))
             )
-            new_labels = materialize(
-                labels.join(nbr_min, "id", "left").select(
-                    "id",
-                    F.least("component", F.coalesce("nbr_min", "component")).alias("component"),
-                )
+            new_c = F.least("component", F.coalesce("nbr_min", "component"))
+            flagged = labels.join(nbr_min, "id", "left").select(
+                "id",
+                new_c.alias("component"),
+                (new_c < F.col("component")).cast("int").alias("_changed"),
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-                .where(F.col("component") != F.col("old"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            labels, changed = swap_observed(labels, flagged, "_changed")
+            labels = labels.select("id", "component")
             if changed == 0:
                 break
     return labels

@@ -12,15 +12,20 @@ sequential oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, superstep_planning
+from graftlouvain.functions.iterate import materialize, superstep_planning, swap_observed
 from graftlouvain.operators.graph import LinkGraph
 
 
 def label_propagation(graph: LinkGraph, max_iter: int = 5) -> DataFrame:
-    """Returns [id, label]."""
+    """Returns [id, label].
+
+    Per superstep: one edge⋈labels join + (id, label) weight aggregation, a
+    hash-aggregate argmax (max_by over (w, −l) — no sort; ties → smallest
+    label), and one observed-metric materialization (changed-count read during
+    the same pass, no comparison join)."""
     with superstep_planning(graph.edges.sparkSession):
         labels = materialize(graph.vertices.select("id", F.col("id").alias("label")))
         for _i in range(max_iter):
@@ -32,23 +37,19 @@ def label_propagation(graph: LinkGraph, max_iter: int = 5) -> DataFrame:
                 .groupBy(F.col("src").alias("id"), F.col("l"))
                 .agg(F.sum("weight").alias("w"))
             )
-            w_rank = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("l"))
-            winners = (
-                weighted.withColumn("rn", F.row_number().over(w_rank))
-                .where(F.col("rn") == 1)
-                .select("id", F.col("l").alias("new_label"))
+            winners = weighted.groupBy("id").agg(
+                F.max_by("l", F.struct(F.col("w"), (-F.col("l")).alias("neg"))).alias(
+                    "new_label"
+                )
             )
-            new_labels = materialize(
-                labels.join(winners, "id", "left")
-                .select("id", F.coalesce("new_label", "label").alias("label"))
+            new_l = F.coalesce("new_label", "label")
+            flagged = labels.join(winners, "id", "left").select(
+                "id",
+                new_l.alias("label"),
+                (new_l != F.col("label")).cast("int").alias("_changed"),
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-                .where(F.col("label") != F.col("old"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            labels, changed = swap_observed(labels, flagged, "_changed")
+            labels = labels.select("id", "label")
             if changed == 0:
                 break
     return labels

@@ -44,7 +44,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, superstep_planning, swap
+from graftlouvain.functions.iterate import (
+    materialize,
+    superstep_planning,
+    swap,
+    swap_observed,
+)
 from graftlouvain.operators.graph import LinkGraph, community_stats, singleton_assignments
 
 
@@ -377,11 +382,8 @@ def louvain_level(
             t0 = time.monotonic()
             new_state, _ = _superstep(graph, state, step, gain_eps, use_pandas=use_pandas)
             # One materialization per superstep (heavy plan runs exactly once);
-            # the move count is then a scalar aggregate over checkpointed data.
-            state_m = swap(state, new_state)
-            n_moves = int(
-                state_m.agg(F.sum("_moved").alias("m")).first()["m"] or 0
-            )
+            # the move count is OBSERVED during that same pass — no extra job.
+            state_m, n_moves = swap_observed(state, new_state, "_moved")
             state = state_m.select("id", "community", "k_i")
             wall = int((time.monotonic() - t0) * 1000)
             stats.supersteps += 1
