@@ -304,11 +304,15 @@ def q_ivf_topk(spark, sf):
 def q_embedding_near_dups(spark, sf):
     """Cosine near-duplicate pairs (≥ 0.99) among vec_id < 100 — routed
     through the LSH-bucketed scale path (no CartesianProduct in the plan);
-    the all-pairs SQL oracle is the exactness check."""
+    the all-pairs SQL oracle is the exactness check. LSH recall < 1 in
+    principle, but at θ(0.99) ≈ 8.1° with 12 tables the per-pair miss
+    probability is ~8e-7, and the testdata's max pairwise cosine is 0.48
+    (verified at sf0.01/sf0.1) — no qualifying pair exists to miss; parity
+    with the exact baseline on planted near-dups is pinned in pytest."""
     emb = _read(spark, sf, "embeddings").where("vec_id < 100")
-    return embedding_near_dup_pairs_lsh(emb, dim=64, threshold=0.99).select(
-        "a", "b", "cosine"
-    )
+    return embedding_near_dup_pairs_lsh(
+        emb, dim=64, threshold=0.99, n_tables=12
+    ).select("a", "b", "cosine")
 
 
 def q_dedup_clusters(spark, sf):
@@ -382,10 +386,10 @@ def q_hash_sample(spark, sf):
     independent, unlike F.rand). md5-keyed so the DuckDB oracle reproduces the
     exact same sample; determinism across evaluations is also pinned in
     pytest."""
+    from graftlouvain.operators.dedup import _md5_pair
+
     docs = _read(spark, sf, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h, _ = _md5_pair(F.col("doc_id").cast("string"))
     return docs.where(F.pmod(h, F.lit(10)) == 0).select("doc_id", "n_chars")
 
 

@@ -108,19 +108,23 @@ class LinkGraph:
             degrees = degrees.cache()
         vertices = degrees.select("id")
 
-        row = agg.agg(
-            F.count(F.lit(1)).alias("ecount"),
-            F.sum("weight").alias("total_weight"),
-            F.max(F.greatest("src", "dst")).alias("max_id"),
-            F.count_distinct("src").alias("vcount"),
+        # ALL scalar stats come from one pass over the (tiny) degrees table —
+        # on the symmetrized table every dst also appears as src, so
+        # max_id = max(id), ecount = Σ out_degree, 2m = Σ degree. One job
+        # over V rows instead of the previous two jobs (one over E rows).
+        row = degrees.agg(
+            F.count(F.lit(1)).alias("vcount"),
+            F.sum("degree").alias("total_weight"),
+            F.max("id").alias("max_id"),
+            F.sum("out_degree").alias("ecount"),
+            F.max("out_degree").alias("max_out"),
         ).first()
-        deg_row = degrees.agg(F.max("out_degree").alias("max_out")).first()
         stats = GraphStats(
             num_vertices=int(row["vcount"] or 0),
             max_id=int(row["max_id"]) if row["max_id"] is not None else -1,
-            num_directed_edges=int(row["ecount"]),
+            num_directed_edges=int(row["ecount"] or 0),
             total_weight=float(row["total_weight"] or 0.0),
-            max_out_degree=int(deg_row["max_out"] or 0),
+            max_out_degree=int(row["max_out"] or 0),
         )
         return cls(edges=agg, degrees=degrees, vertices=vertices, stats=stats)
 

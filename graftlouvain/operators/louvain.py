@@ -337,6 +337,7 @@ def _superstep(
 class LevelStats:
     level: int
     supersteps: int = 0
+    start_step: int = 0  # first superstep index this (possibly resumed) run executed
     moves: list = field(default_factory=list)
     wall_ms: list = field(default_factory=list)
     modularity: float = float("nan")
@@ -352,6 +353,7 @@ def louvain_level(
     use_pandas: bool = False,
     min_moves_frac: float = 0.0,
     start_step: int = 0,
+    start_streak: int = 0,
 ) -> tuple[DataFrame, LevelStats]:
     """L1 one_level (communities.rs:36-41): supersteps until a full even+odd
     pair produces zero moves (both parities of the oscillation gate must be
@@ -362,13 +364,16 @@ def louvain_level(
     consecutive supersteps each move fewer than ``min_moves_frac·V`` vertices
     — dense quasi-random graphs otherwise churn to the superstep cap for
     near-zero Q payoff. Default 0.0 keeps exact fixpoint semantics (the
-    oracle-pinned configuration). ``start_step`` resumes mid-level from a
-    checkpoint, preserving the even/odd gate parity.
+    oracle-pinned configuration). ``start_step``/``start_streak`` resume
+    mid-level from a checkpoint, preserving the even/odd gate parity AND the
+    convergence streak (without the streak, a resume into a slack-converged
+    level would run extra real supersteps and diverge from the uninterrupted
+    run when ``min_moves_frac > 0``).
     """
     asg = assignments if assignments is not None else singleton_assignments(graph)
-    stats = LevelStats(level=level)
+    stats = LevelStats(level=level, start_step=start_step)
     move_slack = int(min_moves_frac * max(graph.stats.num_vertices, 1))
-    zero_streak = 0
+    zero_streak = start_streak
     with superstep_planning(graph.edges.sparkSession):
         # level-loop state = [id, community, k_i]: the degree is joined in
         # ONCE here and then rides through every superstep projection, so the
@@ -379,6 +384,8 @@ def louvain_level(
             )
         state = materialize(asg)
         for step in range(start_step, max_supersteps):
+            if zero_streak >= 2:
+                break  # resumed into an already-converged level
             t0 = time.monotonic()
             new_state, _ = _superstep(graph, state, step, gain_eps, use_pandas=use_pandas)
             # One materialization per superstep (heavy plan runs exactly once);
@@ -433,7 +440,7 @@ class LouvainResult:
         to a ``_metrics`` table for run observability."""
         spark = spark or self.assignments.sparkSession
         rows = [
-            (s.level, i, int(m), int(w), float(s.modularity))
+            (s.level, s.start_step + i, int(m), int(w), float(s.modularity))
             for s in self.levels
             for i, (m, w) in enumerate(zip(s.moves, s.wall_ms))
         ]
@@ -464,9 +471,12 @@ def louvain(
     communitystate.rs:890-971): the level-local assignments are loaded from
     the superstep snapshot, the coarse graph and global assignments from the
     preceding level records, and the level continues at the next superstep
-    with the even/odd gate parity preserved. Supersteps are deterministic
-    given assignments, so a resumed run produces byte-identical labels.
-    ``LevelStats`` for levels completed before the crash are not replayed.
+    with the even/odd gate parity AND the convergence streak (recomputed from
+    the committed move counts) preserved. Supersteps are deterministic given
+    assignments, so a resumed run produces byte-identical labels — provided
+    the resume passes the same ``min_moves_frac`` as the original run (the
+    streak depends on the slack). ``LevelStats`` for levels completed before
+    the crash are not replayed.
     """
     global_asg = singleton_assignments(graph)
     cur = graph
@@ -475,15 +485,16 @@ def louvain(
     start_level = 0
     resume_asg = None
     resume_step = 0
+    resume_streak = 0
     if resume and checkpointer is not None:
         rec = checkpointer.latest_superstep("louvain")
         if rec is not None:
             spark = graph.edges.sparkSession
+            manifest = checkpointer.manifest()
             start_level = int(rec["level"])
             resume_step = int(rec["superstep"]) + 1
             resume_asg = checkpointer.load_assignments(spark, rec)
             if start_level > 0:
-                manifest = checkpointer.manifest()
                 coarse = [
                     r for r in manifest
                     if r["kind"] == "level" and r["algorithm"] == "louvain_coarse"
@@ -500,6 +511,24 @@ def louvain(
                 ][-1]
                 global_asg = spark.read.parquet(lvl["assignments_path"])
                 q_prev = float(lvl["modularity"])
+            # Restore the convergence streak from the committed move counts,
+            # else a resume into a slack-converged (min_moves_frac > 0) level
+            # would run extra real supersteps and diverge from the
+            # uninterrupted run.
+            slack = int(min_moves_frac * max(cur.stats.num_vertices, 1))
+            lvl_recs = sorted(
+                (
+                    r for r in manifest
+                    if r["kind"] == "superstep" and r["algorithm"] == "louvain"
+                    and r["level"] == start_level and r["superstep"] < resume_step
+                ),
+                key=lambda r: r["superstep"],
+            )
+            for r in reversed(lvl_recs):
+                if int(r["moves"]) <= slack:
+                    resume_streak += 1
+                else:
+                    break
     q = q_prev
     for level in range(start_level, max_levels):
         asg, stats = louvain_level(
@@ -509,6 +538,7 @@ def louvain(
             checkpointer=checkpointer, use_pandas=use_pandas,
             min_moves_frac=min_moves_frac,
             start_step=resume_step if level == start_level else 0,
+            start_streak=resume_streak if level == start_level else 0,
         )
         # Coarsen first, then read the level's Q off the coarse graph's
         # singleton partition (exactly equal, two scalar aggs instead of two

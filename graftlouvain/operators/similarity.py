@@ -37,12 +37,15 @@ def _norm(a: "F.Column") -> "F.Column":
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _cosine6(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Cosine similarity rounded to 6dp — THE rounding policy every ranking
+    decision in this module shares (and the DuckDB oracles replicate), so
+    cross-engine float-summation differences cannot flip argmax/rank ties."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
 def with_cosine(joined: DataFrame, a_col: str = "qv", b_col: str = "cv") -> DataFrame:
-    a = F.col(a_col)
-    b = F.col(b_col)
-    return joined.withColumn(
-        "cosine", F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
-    )
+    return joined.withColumn("cosine", _cosine6(F.col(a_col), F.col(b_col)))
 
 
 def _as_double(df: DataFrame, vec_col: str) -> "F.Column":
@@ -175,17 +178,9 @@ def ivf_cells(
     centroids = pick.select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    # sims rounded to 6dp BEFORE the argmax (and likewise in probing below):
-    # rank decisions then survive cross-engine float-summation differences in
-    # the DuckDB oracle, same defense as cosine_topk's rounded ranking.
     scored = (
         base.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "sim",
-            F.round(
-                _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))), 6
-            ),
-        )
+        .withColumn("sim", _cosine6(F.col("v"), F.col("cv")))
     )
     assigned = scored.groupBy("vec_id").agg(
         F.max_by("cell", F.struct(F.col("sim"), (-F.col("cell")).alias("neg"))).alias("cell"),
@@ -215,12 +210,7 @@ def ivf_topk(
     )
     qcells = (
         qv.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "sim",
-            F.round(
-                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
-            ),
-        )
+        .withColumn("sim", _cosine6(F.col("qv"), F.col("cv")))
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
     probed = (

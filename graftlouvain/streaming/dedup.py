@@ -38,15 +38,27 @@ def dedup_stream(
     glob: str | None = None,
     watermark_col: str | None = None,
     watermark: str = "1 hour",
+    schema: T.StructType | None = None,
 ) -> DataFrame:
-    """readStream over a documents directory → [doc_id, content_sha, lang,
-    source, n_chars], one row per distinct content hash (first occurrence)."""
-    reader = spark.readStream.schema(DOCUMENTS_SCHEMA).option("maxFilesPerTrigger", 2)
+    """readStream over a documents directory → every non-``text`` input column
+    plus ``content_sha``, one row per distinct content hash (first
+    occurrence). Feeds with an ingestion timestamp pass their own ``schema``
+    (which must include that column) and ``watermark_col`` — the operator then
+    uses ``dropDuplicatesWithinWatermark`` and state is bounded by the
+    watermark horizon instead of growing with distinct hashes."""
+    schema = schema or DOCUMENTS_SCHEMA
+    if watermark_col and watermark_col not in schema.fieldNames():
+        raise ValueError(
+            f"watermark_col {watermark_col!r} not in schema fields "
+            f"{schema.fieldNames()} — pass schema= for timestamped feeds"
+        )
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    keep = [f.name for f in schema.fields if f.name != "text"] + ["content_sha"]
     stream = reader.parquet(docs_dir).withColumn(
         "content_sha", F.sha2(F.col("text"), 256)
-    ).select("doc_id", "content_sha", "lang", "source", "n_chars")
+    ).select(*keep)
     if watermark_col:
         return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
             ["content_sha"]

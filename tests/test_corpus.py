@@ -173,3 +173,34 @@ def test_checkpoint_resume_full_louvain(spark, tmp_path):
     assert abs(res.modularity - want_res.modularity) < 1e-12
     # the resumed run must have skipped the completed earlier levels
     assert res.levels[0].level == last_level
+
+
+def test_checkpoint_resume_with_slack(spark, tmp_path):
+    """Resume must also be byte-identical when the convergence slack is on:
+    the streak is restored from the committed move counts, so a crash right
+    after a slack-converged level cannot trigger extra real supersteps."""
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    frac = 0.1
+    want_res = louvain(g, min_moves_frac=frac)
+    want = {r["id"]: r["community"] for r in want_res.assignments.collect()}
+
+    ckdir = str(tmp_path / "ck")
+    louvain(g, min_moves_frac=frac, checkpointer=CheckpointManager(ckdir))
+    ck = CheckpointManager(ckdir)
+    records = ck.manifest()
+    # truncate right after the LAST superstep record of level 0 — the worst
+    # case: the level just (slack-)converged, nothing of level 1 committed
+    cut = max(
+        i for i, r in enumerate(records)
+        if r["kind"] == "superstep" and r["level"] == 0
+    )
+    with open(ck.manifest_path) as f:
+        lines = [ln for ln in f if ln.strip()]
+    with open(ck.manifest_path, "w") as f:
+        f.writelines(lines[: cut + 1])
+
+    res = louvain(
+        g, min_moves_frac=frac, checkpointer=CheckpointManager(ckdir), resume=True
+    )
+    got = {r["id"]: r["community"] for r in res.assignments.collect()}
+    assert got == want

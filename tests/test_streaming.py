@@ -100,3 +100,41 @@ def test_stream_dedup_matches_batch(spark):
         for r in exact_dedup(docs).select("content_sha").distinct().collect()
     }
     assert set(got) == want
+
+
+def test_stream_dedup_watermark_path(spark, tmp_path):
+    """Timestamped feeds: custom schema + watermark_col routes through
+    dropDuplicatesWithinWatermark and still keeps one row per hash."""
+    from pyspark.sql import types as T
+
+    from graftlouvain.streaming.dedup import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, f"content-{i % 5}", base + dt.timedelta(minutes=i)) for i in range(20)
+    ]
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    out = dedup_stream(spark, src, watermark_col="ts", watermark="1 hour", schema=schema)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [r["content_sha"] for r in spark.sql("SELECT * FROM dedup_wm_test").collect()]
+    finally:
+        q.stop()
+    assert len(got) == len(set(got)) == 5  # 5 distinct contents within horizon

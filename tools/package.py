@@ -22,7 +22,9 @@ def build(out: Path | None = None) -> Path:
         for p in entries:
             info = zipfile.ZipInfo(str(p.relative_to(ROOT)), date_time=(1980, 1, 1, 0, 0, 0))
             info.external_attr = 0o644 << 16
-            zf.writestr(info, p.read_bytes())
+            # a hand-built ZipInfo defaults to STORED, overriding the
+            # ZipFile-level default — pass the compression explicitly
+            zf.writestr(info, p.read_bytes(), compress_type=zipfile.ZIP_DEFLATED)
     return out
 
 
