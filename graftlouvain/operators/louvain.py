@@ -124,6 +124,38 @@ def _auto_salt(graph: LinkGraph) -> int:
     return 1
 
 
+def _nbr_candidate_rows(
+    graph: LinkGraph,
+    asg_dst: DataFrame,
+    salt_buckets: int,
+    include_self_zero: bool,
+) -> DataFrame:
+    """(src, nbr_comm, k_ic) rows from the edge⋈assignment join, optionally
+    salted. ``include_self_zero`` keeps self-loop rows with k_ic = 0 — they
+    guarantee every vertex at least one candidate row (its own community)
+    without a union, since every LinkGraph vertex has ≥ 1 edge row."""
+    if include_self_zero:
+        e = graph.edges
+        k_ic = F.when(F.col("src") != F.col("dst"), F.col("weight")).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        e = graph.edges.where(F.col("src") != F.col("dst"))
+        k_ic = F.col("weight")
+    if salt_buckets > 1:
+        salted_e = e.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets)))
+        salted_a = asg_dst.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))
+            ),
+        )
+        joined = salted_e.join(salted_a, ["dst", "_salt"])
+    else:
+        joined = e.join(asg_dst, "dst")
+    return joined.select("src", "nbr_comm", k_ic.alias("k_ic"))
+
+
 def move_scores(
     graph: LinkGraph, assignments: DataFrame, salt_buckets: int | None = None
 ) -> DataFrame:
@@ -164,27 +196,10 @@ def move_scores(
     # community is unioned in as a zero-weight candidate BEFORE the single
     # aggregation (guaranteeing "stay" a defined score without a second
     # groupBy shuffle; adding 0.0 is exact in IEEE so sums are unchanged).
-    edges_ns = graph.edges.where(F.col("src") != F.col("dst"))
     asg_dst = assignments.select(
         F.col("id").alias("dst"), F.col("community").alias("nbr_comm")
     )
-    if salt_buckets > 1:
-        salted_e = edges_ns.withColumn(
-            "_salt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets))
-        )
-        salted_a = asg_dst.withColumn(
-            "_salt",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))
-            ),
-        )
-        nbr_rows = salted_e.join(salted_a, ["dst", "_salt"]).select(
-            "src", "nbr_comm", F.col("weight").alias("k_ic")
-        )
-    else:
-        nbr_rows = edges_ns.join(asg_dst, "dst").select(
-            "src", "nbr_comm", F.col("weight").alias("k_ic")
-        )
+    nbr_rows = _nbr_candidate_rows(graph, asg_dst, salt_buckets, include_self_zero=False)
     own = assignments.select(
         F.col("id").alias("src"),
         F.col("community").alias("nbr_comm"),
@@ -223,6 +238,85 @@ def move_scores(
             * F.col("k_i")
             / F.lit(S),
         )
+    )
+
+
+def _community_totals(state: DataFrame) -> DataFrame:
+    """[nbr_comm, tot]: tot_C = Σ member degrees, straight off the state."""
+    return state.groupBy(F.col("community").alias("nbr_comm")).agg(
+        F.sum("k_i").alias("tot")
+    )
+
+
+def _best_moves_fast(graph: LinkGraph, state: DataFrame, S: float) -> DataFrame:
+    """The default superstep argmax — EXCHANGE-FREE on the src-partitioned
+    edge cache (all small sides broadcast, verified 0 E-row Exchange nodes):
+
+    - self-loop rows carry k_ic = 0 instead of a unioned own-candidate table
+      (a Union erases partitioning info and forced two E-row shuffles: the
+      (src, nbr_comm) aggregation and the argmax regroup). Every vertex has
+      ≥ 1 edge row, so every vertex keeps a row — including coarse vertices
+      whose only edge is their self-loop.
+    - the stay score is computed ANALYTICALLY: stay = k_{i→cur} −
+      (tot_cur − k_i)·k_i/S with k_{i→cur} = 0 when the vertex has no
+      intra-community neighbor — the identical expression the scored own-row
+      produced (sum + 0.0 is exact in IEEE), so doubles match the
+      move_scores-based paths bit for bit.
+    - when the best candidate is the own community the gate blocks the move,
+      and on exact score ties the strict `score > stay + eps` gate blocks
+      both formulations, so dropping the explicit own candidate from the
+      argmax set never changes the applied move set (pinned by the pandas
+      equivalence test and the exact-label oracle fixtures).
+
+    Output: [src, nbr_comm, score, cur_comm, k_i, stay_score].
+    """
+    asg_dst = state.select(F.col("id").alias("dst"), F.col("community").alias("nbr_comm"))
+    nbr = _nbr_candidate_rows(graph, asg_dst, _auto_salt(graph), include_self_zero=True)
+    cand = nbr.groupBy("src", "nbr_comm").agg(F.sum("k_ic").alias("k_ic"))
+    tot = _community_totals(state)
+    cur = state.select(
+        F.col("id").alias("src"), F.col("community").alias("cur_comm"), "k_i"
+    )
+    scored = (
+        cand.join(tot, "nbr_comm")
+        .join(cur, "src")
+        .withColumn(
+            "score",
+            F.col("k_ic")
+            - (
+                F.col("tot")
+                - F.when(F.col("nbr_comm") == F.col("cur_comm"), F.col("k_i")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            * F.col("k_i")
+            / F.lit(S),
+        )
+    )
+    ord_key = F.struct(F.col("score"), (-F.col("nbr_comm")).alias("neg"))
+    best = scored.groupBy("src").agg(
+        F.max_by("nbr_comm", ord_key).alias("nbr_comm"),
+        F.max_by("score", ord_key).alias("score"),
+        F.max("cur_comm").alias("cur_comm"),
+        F.max("k_i").alias("k_i"),
+        F.coalesce(
+            F.max(F.when(F.col("nbr_comm") == F.col("cur_comm"), F.col("k_ic"))),
+            F.lit(0.0),
+        ).alias("stay_kic"),
+    )
+    tot_cur = _community_totals(state).select(
+        F.col("nbr_comm").alias("cur_comm"), F.col("tot").alias("tot_cur")
+    )
+    return best.join(tot_cur, "cur_comm").select(
+        "src",
+        "nbr_comm",
+        "score",
+        "cur_comm",
+        "k_i",
+        (
+            F.col("stay_kic")
+            - (F.col("tot_cur") - F.col("k_i")) * F.col("k_i") / F.lit(S)
+        ).alias("stay_score"),
     )
 
 
@@ -301,8 +395,11 @@ def _superstep(
     """One synchronous local-move superstep: score candidates against frozen
     state, argmax per vertex (ties → smallest community id), apply
     strictly-improving moves that pass the even/odd direction gate."""
-    scored = move_scores(graph, assignments)
-    best = _best_moves_pandas(scored) if use_pandas else _best_moves_agg(scored)
+    if use_pandas:
+        # alternative physical strategy, pinned label-equal to the default
+        best = _best_moves_pandas(move_scores(graph, assignments))
+    else:
+        best = _best_moves_fast(graph, assignments, graph.two_m)
 
     direction = (
         (F.col("nbr_comm") < F.col("cur_comm"))
