@@ -82,7 +82,10 @@ class LinkGraph:
         Equivalent of ``DistributedGraph::from_distributed`` (graph.rs:174-215):
         one shuffle replaces partition_edges_by_rank + all_to_all_varcount +
         local sort. ``pre_symmetrized=True`` skips the mirror union (used for
-        coarsened graphs, whose edge tables are symmetric by construction).
+        coarsened graphs, whose edge tables are symmetric by construction) —
+        the input MUST actually be symmetric: every scalar stat (max_id,
+        ecount, 2m, degrees) is derived from the src side of the table, so an
+        asymmetric input silently yields wrong stats AND wrong degrees.
         """
         e = conform_edges(raw_edges)
         if pre_symmetrized:

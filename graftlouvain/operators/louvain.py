@@ -304,7 +304,7 @@ def _best_moves_fast(graph: LinkGraph, state: DataFrame, S: float) -> DataFrame:
             F.lit(0.0),
         ).alias("stay_kic"),
     )
-    tot_cur = _community_totals(state).select(
+    tot_cur = tot.select(
         F.col("nbr_comm").alias("cur_comm"), F.col("tot").alias("tot_cur")
     )
     return best.join(tot_cur, "cur_comm").select(
@@ -391,7 +391,7 @@ def _superstep(
     step: int,
     gain_eps: float,
     use_pandas: bool = False,
-) -> tuple[DataFrame, int]:
+) -> DataFrame:
     """One synchronous local-move superstep: score candidates against frozen
     state, argmax per vertex (ties → smallest community id), apply
     strictly-improving moves that pass the even/odd direction gate."""
@@ -418,7 +418,7 @@ def _superstep(
         & (F.col("score") > F.col("stay_score") + F.lit(gain_eps))
         & direction
     )
-    new_asg = best.select(
+    return best.select(
         F.col("src").alias("id"),
         F.when(gate, F.col("nbr_comm"))
         .otherwise(F.col("cur_comm"))
@@ -426,8 +426,7 @@ def _superstep(
         .alias("community"),
         F.col("k_i"),  # degree rides on the state — no per-superstep deg join
         gate.cast("int").alias("_moved"),
-    )
-    return new_asg, -1  # n_moves read off the materialized state by the caller
+    )  # n_moves is read off the materialized state by the caller (observed)
 
 
 @dataclass
@@ -468,6 +467,16 @@ def louvain_level(
     run when ``min_moves_frac > 0``).
     """
     asg = assignments if assignments is not None else singleton_assignments(graph)
+    # caller-supplied ids that are not graph vertices never enter the scoring
+    # dataflow (no edge rows) — carry them through unchanged so the output
+    # covers exactly the input's id set
+    extra = (
+        assignments.select("id", "community").join(
+            graph.degrees.select("id"), "id", "left_anti"
+        )
+        if assignments is not None
+        else None
+    )
     stats = LevelStats(level=level, start_step=start_step)
     move_slack = int(min_moves_frac * max(graph.stats.num_vertices, 1))
     zero_streak = start_streak
@@ -484,7 +493,7 @@ def louvain_level(
             if zero_streak >= 2:
                 break  # resumed into an already-converged level
             t0 = time.monotonic()
-            new_state, _ = _superstep(graph, state, step, gain_eps, use_pandas=use_pandas)
+            new_state = _superstep(graph, state, step, gain_eps, use_pandas=use_pandas)
             # One materialization per superstep (heavy plan runs exactly once);
             # the move count is OBSERVED during that same pass — no extra job.
             state_m, n_moves = swap_observed(state, new_state, "_moved")
@@ -502,7 +511,10 @@ def louvain_level(
             zero_streak = zero_streak + 1 if n_moves <= move_slack else 0
             if zero_streak >= 2:
                 break
-    return state.select("id", "community"), stats
+    result = state.select("id", "community")
+    if extra is not None:
+        result = result.unionByName(extra)
+    return result, stats
 
 
 def coarsen(graph: LinkGraph, assignments: DataFrame) -> LinkGraph:

@@ -35,15 +35,15 @@ def pagerank(
     if V == 0:
         return graph.vertices.select("id", F.lit(0.0).alias("rank"))
     out_w = graph.degrees.select(F.col("id").alias("src"), F.col("degree").alias("out_w"))
-    # pre-divide edge weights once: share(u,v) = w/outw(u) — and partition by
-    # DST: mass flows along edges, so the per-iteration groupBy(dst) then
-    # runs shuffle-free on the cache (ranks broadcast into the src join, and
-    # the final vertices⋈contrib join is co-partitioned on the id hash).
-    # One build-time shuffle buys zero E-row exchanges per iteration.
+    # pre-divide edge weights once: share(u,v) = w/outw(u). Kept src-
+    # partitioned (the edge cache's layout): the ranks join is then always
+    # exchange-free regardless of whether ranks fit the broadcast threshold —
+    # a dst layout would be marginally better only while ranks broadcast, and
+    # degrades to re-shuffling the E-row shares every iteration on graphs
+    # whose V-row ranks exceed it (the regime that actually matters).
     shares = (
         graph.edges.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share"))
-        .repartition("dst")
         .cache()
     )
     with superstep_planning(graph.edges.sparkSession):

@@ -47,6 +47,10 @@ def dedup_stream(
     uses ``dropDuplicatesWithinWatermark`` and state is bounded by the
     watermark horizon instead of growing with distinct hashes."""
     schema = schema or DOCUMENTS_SCHEMA
+    if "text" not in schema.fieldNames():
+        raise ValueError(
+            f"schema must contain the 'text' column to hash; got {schema.fieldNames()}"
+        )
     if watermark_col and watermark_col not in schema.fieldNames():
         raise ValueError(
             f"watermark_col {watermark_col!r} not in schema fields "
@@ -55,7 +59,10 @@ def dedup_stream(
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    keep = [f.name for f in schema.fields if f.name != "text"] + ["content_sha"]
+    # content_sha in position 2 (right after the id column) — the layout the
+    # original fixed projection emitted; positional sinks depend on it
+    names = [f.name for f in schema.fields if f.name != "text"]
+    keep = names[:1] + ["content_sha"] + names[1:]
     stream = reader.parquet(docs_dir).withColumn(
         "content_sha", F.sha2(F.col("text"), 256)
     ).select(*keep)

@@ -187,3 +187,18 @@ def test_salted_level_labels_identical(spark, monkeypatch):
     monkeypatch.setattr(lv, "SKEW_SALT_RATIO", 0.0)
     got = _labels(louvain_level(g)[0])
     assert got == want
+
+
+def test_level_preserves_non_graph_ids(spark):
+    """Caller-supplied assignment rows whose id has no edge in the graph pass
+    through a level unchanged (they can never be scored)."""
+    from pyspark.sql import functions as F
+
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_W5))
+    asg = singleton_assignments(g).unionByName(
+        spark.createDataFrame([(999, 7)], "id long, community long")
+    )
+    out, _ = louvain_level(g, assignments=asg)
+    labels = _labels(out)
+    assert labels[999] == 7
+    assert set(labels) == set(_labels(asg))
