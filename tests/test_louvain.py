@@ -147,6 +147,58 @@ def test_argmax_physical_paths_equal(spark):
         assert a == key(_best_moves_pandas(scored))
 
 
+@pytest.mark.parametrize(
+    "edges", [FIXTURE_W5, FIXTURE_28_W, FIXTURE_KARATE_W, fixture_hub()],
+    ids=["w5", "fixture28", "karate", "hub"],
+)
+def test_batched_matches_unbatched(spark, edges):
+    """batch_supersteps=2 (one materialization/Observation per superstep PAIR)
+    must reproduce the unbatched loop exactly: same labels, same superstep
+    count, same per-superstep move sequence — with and without convergence
+    slack (min_moves_frac)."""
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    for frac in (0.0, 0.05):
+        a1, s1 = louvain_level(g, batch_supersteps=1, min_moves_frac=frac)
+        a2, s2 = louvain_level(g, batch_supersteps=2, min_moves_frac=frac)
+        assert _labels(a1) == _labels(a2)
+        assert s1.supersteps == s2.supersteps
+        assert s1.moves == s2.moves
+    r1 = louvain(g, batch_supersteps=1)
+    r2 = louvain(g, batch_supersteps=2)
+    assert _labels(r1.assignments) == _labels(r2.assignments)
+    assert r1.modularity == pytest.approx(r2.modularity, abs=1e-12)
+
+
+def test_sql_superstep_matches_df(spark):
+    """The one-statement SQL superstep (driver-floor hot path) is row-for-row
+    identical to the DataFrame-built superstep at every step parity, from both
+    singleton and mid-level states."""
+    from pyspark.sql import functions as F
+
+    from graftlouvain.operators.louvain import _superstep, _superstep_sql
+
+    for edges in (FIXTURE_KARATE_W, fixture_hub()):
+        g = LinkGraph.from_edges(to_df(spark, edges))
+        state = singleton_assignments(g).join(
+            g.degrees.select("id", F.col("degree").alias("k_i")), "id"
+        )
+        for step in (0, 1, 2):
+            df_rows = sorted(
+                (r["id"], r["community"], round(r["k_i"], 9), r["_moved"])
+                for r in _superstep(g, state, step, 1e-12).collect()
+            )
+            sql_rows = sorted(
+                (r["id"], r["community"], round(r["k_i"], 9), r["_moved"])
+                for r in _superstep_sql(g, state, step, 1e-12).collect()
+            )
+            assert sql_rows == df_rows
+            # advance the state through the DF path for the next parity
+            state = spark.createDataFrame(
+                [(i, c, k) for i, c, k, _ in df_rows],
+                "id long, community long, k_i double",
+            )
+
+
 def test_metrics_table(spark):
     g = LinkGraph.from_edges(to_df(spark, FIXTURE_W5))
     res = louvain(g)
