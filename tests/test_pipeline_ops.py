@@ -150,7 +150,26 @@ def test_embedding_near_dup_lsh_matches_exact(spark, vectors):
     lsh = {(r["a"], r["b"], r["cosine"]) for r in lsh_df.collect()}
     assert lsh == exact
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # vector×vector candidacy must be an equi join keyed on the LSH bucket;
+    # the only nested-loop join allowed is the planes dimension attach, whose
+    # broadcast side is the tiny createDataFrame LocalTableScan
+    assert "bucket" in plan and ("SortMergeJoin" in plan or "HashJoin" in plan)
+    # createDataFrame surfaces as either LocalTableScan or Scan ExistingRDD
+    assert plan.count("BroadcastNestedLoopJoin") <= (
+        plan.count("LocalTableScan") + plan.count("Scan ExistingRDD")
+    )
+
+
+def test_lsh_plan_size_independent(spark, vectors):
+    """The hyperplanes travel as broadcast DATA, not plan literals: plan size
+    must not grow with n_tables/n_bits (round-2 verdict: the unrolled-literal
+    form spent ~9.5 s of pure plan/codegen overhead on 100 rows)."""
+    from graftlouvain.operators.similarity import lsh_bucketed
+
+    p_small = lsh_bucketed(vectors, 16, n_bits=4, n_tables=2)._jdf.queryExecution().optimizedPlan().toString()
+    p_big = lsh_bucketed(vectors, 16, n_bits=16, n_tables=24)._jdf.queryExecution().optimizedPlan().toString()
+    assert len(p_big) == len(p_small)
 
 
 def test_lang_id(spark, docs):
