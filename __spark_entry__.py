@@ -132,6 +132,44 @@ def q_edges_build(spark, sf):
     return _graph(spark, sf).edges.select("src", "dst", "weight")
 
 
+def q_ingest_file_sha(spark, sf):
+    """Corpus ingest on the oracle surface (S3, BASELINE.json input_hint):
+    shape ``documents`` into the input-hint corpus schema
+    (repo,path,commit,lang,content) and run the REAL ``file_table`` operator
+    — groupBy-latest content, dense lexicographic ids, per-row
+    ``sha256(content)``. The hash gate certifies the sha256 invariant the
+    north rule requires end-to-end (the hashlib cross-check lives in
+    tests/test_corpus.py; reference analogue: the edge-construction
+    invariants of tests/distributed_graph.rs:80-90)."""
+    from graftlouvain.sources.edges import file_table
+
+    docs = _read(spark, sf, "documents")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    return file_table(corpus).select("repo", "path", "id", "lang", "content_sha")
+
+
+def q_ingest_cochange(spark, sf):
+    """Co-change pair expansion on the oracle surface (S3): the REAL
+    ``pairs_by_key`` operator (distinct (key,id), group-size skew cap, equi
+    self-join, src<dst, weight = #shared keys) over a commit-shaped key —
+    parts sharing an order. ``l_orderkey % 10 = 0`` keeps the oracle compact;
+    ``max_group=5`` exercises the cap for real (TPC-H orders carry 1-7
+    lineitems, so some groups are dropped)."""
+    from graftlouvain.sources.edges import pairs_by_key
+
+    li = _read(spark, sf, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    keyed = li.select(
+        F.col("l_orderkey").alias("commit"), F.col("l_partkey").alias("id")
+    )
+    return pairs_by_key(keyed, "commit", max_group=5)
+
+
 def q_graph_counts(spark, sf):
     """G1/G7/A6: global vertex count, directed edge count, total weight (2m)."""
     g = _graph(spark, sf)
@@ -316,12 +354,17 @@ def q_embedding_near_dups(spark, sf):
 
 
 def q_dedup_clusters(spark, sf):
-    """Composed pipeline: n-gram Jaccard near-dup pairs → connected components
-    → dedup clusters (every doc labeled with the min doc_id of its near-dup
+    """Composed pipeline: MinHash-LSH near-dup pairs → connected components →
+    dedup clusters (every doc labeled with the min doc_id of its near-dup
     cluster). The canonical 'which rows do I keep' output of a training-data
-    dedup stage."""
+    dedup stage — composed on the LSH SCALE path (banded candidates, exact
+    Jaccard verify restricted to candidates), not the quadratic-per-gram
+    exact self-join; the oracle stays the exact n-gram SQL, so this query's
+    hash gate doubles as an end-to-end LSH-recall check (recall 1.0 measured
+    in BENCH/dedup_scale.py, and any missed pair would split a cluster and
+    fail the hash)."""
     docs = _read(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=8, threshold=0.5, max_doc_freq=100)
+    pairs = minhash_lsh_pairs(docs, n=8, num_hashes=64, bands=16, threshold=0.5)
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
     )
@@ -438,6 +481,8 @@ def q_events_sessionize(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_build": q_edges_build,
+        "ingest_file_sha": q_ingest_file_sha,
+        "ingest_cochange": q_ingest_cochange,
         "graph_counts": q_graph_counts,
         "degrees": q_degrees,
         "neighbor_communities": q_neighbor_communities,
@@ -672,6 +717,34 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["edges_build"] = f"WITH {_EDGES_CTE.strip()} SELECT src, dst, weight FROM sym"
+
+    sql["ingest_file_sha"] = """
+WITH corpus AS (
+  SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+         lang, text AS content
+  FROM documents
+),
+per_file AS (
+  SELECT repo, path, MAX(lang) AS lang, MAX(content) AS content
+  FROM corpus GROUP BY repo, path
+)
+SELECT repo, path,
+       CAST(ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS BIGINT) AS id,
+       lang, SHA256(content) AS content_sha
+FROM per_file"""
+
+    sql["ingest_cochange"] = """
+WITH k AS (
+  SELECT DISTINCT l_orderkey AS k, l_partkey AS id
+  FROM lineitem WHERE l_orderkey % 10 = 0
+),
+keep AS (SELECT k FROM k GROUP BY k HAVING COUNT(*) BETWEEN 2 AND 5),
+kk AS (SELECT k.k, k.id FROM k JOIN keep USING (k)),
+pairs AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM kk a JOIN kk b ON a.k = b.k AND a.id < b.id
+)
+SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight FROM pairs GROUP BY 1, 2"""
 
     sql["graph_counts"] = f"""WITH {_EDGES_CTE.strip()}
 SELECT (SELECT COUNT(*) FROM deg) AS vcount,
