@@ -447,6 +447,49 @@ def q_char_quantiles(spark, sf):
     )
 
 
+def q_stream_dedup_first(spark, sf):
+    """Batch twin of the streaming exact dedup (graftlouvain/streaming/
+    dedup.py): first arrival per content hash over a TIMESTAMPED feed —
+    documents joined to events on id for an arrival time, deterministic
+    (ts, doc_id) tiebreak mirroring the stream's in-order delivery contract.
+    This puts the watermark-path semantics on the driver's oracle surface;
+    the live-stream parity (kept-hash set, dropDuplicatesWithinWatermark) is
+    pinned in tests/test_streaming.py."""
+    docs = _read(spark, sf, "documents")
+    ev = _read(spark, sf, "events").select(F.col("event_id").alias("doc_id"), "ts")
+    feed = docs.join(ev, "doc_id").withColumn(
+        "content_sha", F.sha2(F.col("text"), 256)
+    )
+    first = feed.groupBy("content_sha").agg(
+        F.min(F.struct("ts", "doc_id")).alias("f")
+    )
+    return first.select(
+        "content_sha",
+        F.col("f.doc_id").alias("first_doc_id"),
+        F.unix_timestamp(F.col("f.ts")).alias("first_epoch"),
+    )
+
+
+def q_char_quantiles_approx(spark, sf):
+    """The 100 TB quantile path: ``approx_percentile`` (Greenwald-Khanna
+    sketch, mergeable across partitions — no per-group sort, unlike the exact
+    ``percentile`` twin above, whose full sort per group is the scale
+    bottleneck the round-2 verdict flagged). Oracle-exact because the sketch
+    returns true order statistics whenever a group holds fewer rows than the
+    accuracy parameter (10000 ≫ any per-lang group at driver gate scale), and
+    Spark's rank convention coincides with DuckDB ``quantile_disc`` (verified
+    at sf0.01 and sf0.1); the approx-vs-exact error bound at adversarial
+    sizes is pinned by a pytest tolerance test instead."""
+    docs = _read(spark, sf, "documents")
+    q = F.expr("approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000)")
+    return docs.groupBy("lang").agg(q.alias("q")).select(
+        "lang",
+        F.col("q")[0].cast("long").alias("p50"),
+        F.col("q")[1].cast("long").alias("p90"),
+        F.col("q")[2].cast("long").alias("p99"),
+    )
+
+
 def q_events_hourly(spark, sf):
     """Streaming-equivalent batch rollup: hourly windowed counts/sums per
     event type (the Structured-Streaming pipeline in
@@ -513,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_rollup": q_corpus_stats_rollup,
         "hash_sample": q_hash_sample,
         "char_quantiles": q_char_quantiles,
+        "char_quantiles_approx": q_char_quantiles_approx,
+        "stream_dedup_first": q_stream_dedup_first,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
     }
@@ -1090,6 +1135,27 @@ SELECT lang,
        ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
        ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
 FROM documents GROUP BY lang"""
+
+    sql["char_quantiles_approx"] = """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY lang"""
+
+    sql["stream_dedup_first"] = """
+WITH feed AS (
+  SELECT d.doc_id, e.ts, SHA256(d.text) AS content_sha
+  FROM documents d JOIN events e ON e.event_id = d.doc_id
+),
+ranked AS (
+  SELECT content_sha, doc_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY content_sha ORDER BY ts, doc_id) AS rn
+  FROM feed
+)
+SELECT content_sha, doc_id AS first_doc_id,
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS first_epoch
+FROM ranked WHERE rn = 1"""
 
     sql["events_hourly"] = """
 SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -403,58 +403,90 @@ def _best_moves_pandas(scored: DataFrame) -> DataFrame:
 # in ~0.05 s. The floor dominates late supersteps (data shrinks, plan doesn't),
 # so this is a direct cut to the per-superstep minimum — the metric the
 # north rule grades (supersteps-to-convergence × per-superstep wall).
-_SUPERSTEP_SQL = """
-WITH nbr AS (
+def _superstep_cte(
+    sfx: str, st: str, step: int, S: str, EPS: str, carry: tuple[str, ...] = ()
+) -> str:
+    """The CTE chain of ONE gated superstep reading state relation ``st``
+    ([id, community, k_i, *carry]); every CTE name is suffixed with ``sfx``
+    so two supersteps compose in a single WITH list (the batched pair). The
+    final relation is ``out{sfx}`` with [id, community, k_i, _moved, *carry]
+    — same expression trees node for node as :func:`_superstep`. ``carry``
+    columns are constant per vertex and ride the argmax aggregate as max()."""
+    d = "nbr_comm < cur_comm" if step % 2 == 0 else "nbr_comm > cur_comm"
+    cur_c = "".join(f", {c}" for c in carry)
+    best_c = "".join(f", max({c}) AS {c}" for c in carry)
+    gated_c = "".join(f", b.{c}" for c in carry)
+    return f"""nbr{sfx} AS (
   SELECT e.src AS src, s.community AS nbr_comm,
          CASE WHEN e.src != e.dst THEN e.weight ELSE CAST(0.0 AS DOUBLE) END AS k_ic
-  FROM {E} e JOIN {ST} s ON e.dst = s.id
+  FROM {{E}} e JOIN {st} s ON e.dst = s.id
 ),
-cand AS (SELECT src, nbr_comm, SUM(k_ic) AS k_ic FROM nbr GROUP BY src, nbr_comm),
-tot AS (SELECT community AS nbr_comm, SUM(k_i) AS tot FROM {ST} GROUP BY community),
-cur AS (SELECT id AS src, community AS cur_comm, k_i FROM {ST}),
-scored AS (
-  SELECT c.src, c.nbr_comm, c.k_ic, t.tot, cu.cur_comm, cu.k_i,
+cand{sfx} AS (SELECT src, nbr_comm, SUM(k_ic) AS k_ic FROM nbr{sfx} GROUP BY src, nbr_comm),
+tot{sfx} AS (SELECT community AS nbr_comm, SUM(k_i) AS tot FROM {st} GROUP BY community),
+cur{sfx} AS (SELECT id AS src, community AS cur_comm, k_i{cur_c} FROM {st}),
+scored{sfx} AS (
+  SELECT c.src, c.nbr_comm, c.k_ic, t.tot, cu.cur_comm, cu.k_i{cur_c},
          c.k_ic - (t.tot - CASE WHEN c.nbr_comm = cu.cur_comm THEN cu.k_i
                             ELSE CAST(0.0 AS DOUBLE) END) * cu.k_i / {S} AS score
-  FROM cand c JOIN tot t ON c.nbr_comm = t.nbr_comm JOIN cur cu ON c.src = cu.src
+  FROM cand{sfx} c JOIN tot{sfx} t ON c.nbr_comm = t.nbr_comm
+  JOIN cur{sfx} cu ON c.src = cu.src
 ),
-best AS (
+best{sfx} AS (
   SELECT src,
          max_by(nbr_comm, struct(score, -nbr_comm)) AS nbr_comm,
          max_by(score, struct(score, -nbr_comm)) AS score,
          max(cur_comm) AS cur_comm,
          max(k_i) AS k_i,
          coalesce(max(CASE WHEN nbr_comm = cur_comm THEN k_ic END),
-                  CAST(0.0 AS DOUBLE)) AS stay_kic
-  FROM scored GROUP BY src
+                  CAST(0.0 AS DOUBLE)) AS stay_kic{best_c}
+  FROM scored{sfx} GROUP BY src
 ),
-gated AS (
+gated{sfx} AS (
   SELECT b.src, b.nbr_comm, b.score, b.cur_comm, b.k_i,
-         b.stay_kic - (t2.tot - b.k_i) * b.k_i / {S} AS stay_score
-  FROM best b JOIN tot t2 ON b.cur_comm = t2.nbr_comm
-)
-SELECT src AS id,
-       CAST(CASE WHEN gate THEN nbr_comm ELSE cur_comm END AS LONG) AS community,
-       k_i, CAST(gate AS INT) AS _moved
-FROM (SELECT *, (nbr_comm != cur_comm AND score > stay_score + {EPS} AND {DIR}) AS gate
-      FROM gated)
-"""
+         b.stay_kic - (t2.tot - b.k_i) * b.k_i / {S} AS stay_score{gated_c}
+  FROM best{sfx} b JOIN tot{sfx} t2 ON b.cur_comm = t2.nbr_comm
+),
+out{sfx} AS (
+  SELECT src AS id,
+         CAST(CASE WHEN gate THEN nbr_comm ELSE cur_comm END AS LONG) AS community,
+         k_i, CAST(gate AS INT) AS _moved{cur_c}
+  FROM (SELECT *, (nbr_comm != cur_comm AND score > stay_score + {EPS} AND {d}) AS gate
+        FROM gated{sfx})
+)"""
+
+
+def _sql_consts(graph: LinkGraph, gain_eps: float) -> tuple[str, str]:
+    """``repr`` of a Python float is its shortest round-trip decimal, so the
+    CAST(… AS DOUBLE) literals recover bit-identical doubles JVM-side."""
+    return f"CAST({graph.two_m!r} AS DOUBLE)", f"CAST({gain_eps!r} AS DOUBLE)"
 
 
 def _superstep_sql(
     graph: LinkGraph, assignments: DataFrame, step: int, gain_eps: float
 ) -> DataFrame:
-    """SQL twin of :func:`_superstep` for the unsalted single-step hot path.
-    ``repr`` of a Python float is its shortest round-trip decimal, so the
-    CAST(… AS DOUBLE) literals recover bit-identical doubles JVM-side."""
-    direction = "nbr_comm < cur_comm" if step % 2 == 0 else "nbr_comm > cur_comm"
+    """SQL twin of :func:`_superstep` for the unsalted single-step hot path."""
+    S, EPS = _sql_consts(graph, gain_eps)
+    q = "WITH " + _superstep_cte("0", "{ST}", step, S, EPS) + "\nSELECT * FROM out0"
+    return graph.edges.sparkSession.sql(q, E=graph.edges, ST=assignments)
+
+
+def _superstep_pair_sql(
+    graph: LinkGraph, assignments: DataFrame, step: int, gain_eps: float
+) -> DataFrame:
+    """TWO composed gated supersteps as one SQL statement — the batched-pair
+    twin of chaining :func:`_superstep` twice, with the first superstep's
+    move flag carried through the second as ``_moved0`` so one Observation
+    reads both counts. One spark.sql call replaces the ~200 py4j expression
+    round trips of the two-step DataFrame composition."""
+    S, EPS = _sql_consts(graph, gain_eps)
+    c0 = _superstep_cte("0", "{ST}", step, S, EPS)
+    mid = "st1 AS (SELECT id, community, k_i, _moved AS _moved0 FROM out0)"
+    c1 = _superstep_cte("1", "st1", step + 1, S, EPS, carry=("_moved0",))
     q = (
-        _SUPERSTEP_SQL.replace("{S}", f"CAST({graph.two_m!r} AS DOUBLE)")
-        .replace("{EPS}", f"CAST({gain_eps!r} AS DOUBLE)")
-        .replace("{DIR}", direction)
+        "WITH " + c0 + ",\n" + mid + ",\n" + c1
+        + "\nSELECT id, community, k_i, _moved, _moved0 FROM out1"
     )
-    spark = graph.edges.sparkSession
-    return spark.sql(q, E=graph.edges, ST=assignments)
+    return graph.edges.sparkSession.sql(q, E=graph.edges, ST=assignments)
 
 
 def _superstep(
@@ -595,12 +627,15 @@ def louvain_level(
                 # Two composed supersteps, one materialization + Observation.
                 # The first superstep's move flag rides through the second's
                 # dataflow as a carried column.
-                s1 = _superstep(graph, state, step, gain_eps).withColumnRenamed(
-                    "_moved", "_moved0"
-                )
-                s2 = _superstep(
-                    graph, s1, step + 1, gain_eps, carry_cols=("_moved0",)
-                )
+                if not use_pandas and _auto_salt(graph) == 1:
+                    s2 = _superstep_pair_sql(graph, state, step, gain_eps)
+                else:
+                    s1 = _superstep(graph, state, step, gain_eps).withColumnRenamed(
+                        "_moved", "_moved0"
+                    )
+                    s2 = _superstep(
+                        graph, s1, step + 1, gain_eps, carry_cols=("_moved0",)
+                    )
                 state_m, counts = swap_observed_multi(
                     state, s2, ["_moved0", "_moved"]
                 )

@@ -39,6 +39,7 @@ def dedup_stream(
     watermark_col: str | None = None,
     watermark: str = "1 hour",
     schema: T.StructType | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """readStream over a documents directory → every non-``text`` input column
     plus ``content_sha``, one row per distinct content hash (first
@@ -59,10 +60,16 @@ def dedup_stream(
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    # content_sha in position 2 (right after the id column) — the layout the
-    # original fixed projection emitted; positional sinks depend on it
+    # content_sha is anchored right AFTER the id column (the documented
+    # positional contract for sinks). ``id_col`` names that column explicitly;
+    # default is the schema's first non-text field — custom schemas whose id
+    # is not first should pass id_col rather than rely on position.
     names = [f.name for f in schema.fields if f.name != "text"]
-    keep = names[:1] + ["content_sha"] + names[1:]
+    anchor = id_col if id_col is not None else names[0]
+    if anchor not in names:
+        raise ValueError(f"id_col {anchor!r} not in schema fields {names}")
+    i = names.index(anchor) + 1
+    keep = names[:i] + ["content_sha"] + names[i:]
     stream = reader.parquet(docs_dir).withColumn(
         "content_sha", F.sha2(F.col("text"), 256)
     ).select(*keep)

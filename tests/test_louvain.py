@@ -199,6 +199,30 @@ def test_sql_superstep_matches_df(spark):
             )
 
 
+def test_sql_pair_matches_df_pair(spark):
+    """The one-statement batched-pair SQL is row-for-row identical to
+    composing two DataFrame supersteps, including the carried _moved0 flag."""
+    from pyspark.sql import functions as F
+
+    from graftlouvain.operators.louvain import _superstep, _superstep_pair_sql
+
+    for edges in (FIXTURE_KARATE_W, fixture_hub()):
+        g = LinkGraph.from_edges(to_df(spark, edges))
+        state = singleton_assignments(g).join(
+            g.degrees.select("id", F.col("degree").alias("k_i")), "id"
+        )
+        for step in (0, 1):
+            s1 = _superstep(g, state, step, 1e-12).withColumnRenamed(
+                "_moved", "_moved0"
+            )
+            s2 = _superstep(g, s1, step + 1, 1e-12, carry_cols=("_moved0",))
+            key = lambda df: sorted(
+                (r["id"], r["community"], round(r["k_i"], 9), r["_moved"], r["_moved0"])
+                for r in df.collect()
+            )
+            assert key(_superstep_pair_sql(g, state, step, 1e-12)) == key(s2)
+
+
 def test_metrics_table(spark):
     g = LinkGraph.from_edges(to_df(spark, FIXTURE_W5))
     res = louvain(g)

@@ -167,9 +167,17 @@ def test_lsh_plan_size_independent(spark, vectors):
     form spent ~9.5 s of pure plan/codegen overhead on 100 rows)."""
     from graftlouvain.operators.similarity import lsh_bucketed
 
-    p_small = lsh_bucketed(vectors, 16, n_bits=4, n_tables=2)._jdf.queryExecution().optimizedPlan().toString()
-    p_big = lsh_bucketed(vectors, 16, n_bits=16, n_tables=24)._jdf.queryExecution().optimizedPlan().toString()
-    assert len(p_big) == len(p_small)
+    import re
+
+    def plan_shape(df):
+        # expression ids (#123) and lambda-variable counters (x_7) vary with
+        # session allocation order — strip both
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"_\d+", "_", re.sub(r"#\d+", "#", s))
+
+    p_small = plan_shape(lsh_bucketed(vectors, 16, n_bits=4, n_tables=2))
+    p_big = plan_shape(lsh_bucketed(vectors, 16, n_bits=16, n_tables=24))
+    assert p_big == p_small
 
 
 def test_lang_id(spark, docs):
@@ -239,6 +247,29 @@ def test_hash_sample_deterministic(spark):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_approx_quantiles_tolerance(spark):
+    """The 100 TB quantile path (approx_percentile / Greenwald-Khanna): when
+    a group EXCEEDS the accuracy parameter the sketch really approximates, and
+    the returned value must sit within the documented rank bound
+    (±N/accuracy) of the exact order statistic — on a skewed (Zipf-ish)
+    distribution where equal-width bins would fail."""
+    from pyspark.sql import functions as F
+
+    n, acc = 50_000, 100
+    df = spark.range(n).select(
+        (F.lit(10.0) / (F.col("id") / n + F.lit(0.01))).cast("long").alias("v")
+    )
+    got = df.agg(
+        F.expr(f"approx_percentile(v, array(0.5, 0.9, 0.99), {acc})").alias("q")
+    ).first()["q"]
+    vals = sorted(r["v"] for r in df.collect())
+    for p, g in zip((0.5, 0.9, 0.99), got):
+        rank_err = n // acc + 1
+        lo = vals[max(0, int(p * n) - rank_err)]
+        hi = vals[min(n - 1, int(p * n) + rank_err)]
+        assert lo <= g <= hi, (p, g, lo, hi)
 
 
 def test_ivf_topk_recall(spark, vectors):

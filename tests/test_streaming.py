@@ -138,3 +138,17 @@ def test_stream_dedup_watermark_path(spark, tmp_path):
     finally:
         q.stop()
     assert len(got) == len(set(got)) == 5  # 5 distinct contents within horizon
+    # parity with the batch twin (q_stream_dedup_first semantics): the kept
+    # hash set equals first-arrival-per-sha over the same timestamped feed
+    from pyspark.sql import functions as F
+
+    feed = spark.read.parquet(src).withColumn(
+        "content_sha", F.sha2(F.col("text"), 256)
+    )
+    want = {
+        r["content_sha"]
+        for r in feed.groupBy("content_sha")
+        .agg(F.min(F.struct("ts", "doc_id")).alias("f"))
+        .collect()
+    }
+    assert set(got) == want
