@@ -727,7 +727,7 @@ def _simhash_sql(max_hamming: int = 8) -> str:
     return rf"""WITH toks AS (
   SELECT d.doc_id, t.token
   FROM documents d,
-       LATERAL (SELECT UNNEST(string_split_regex(LOWER(d.text), '\s+')) AS token) t
+       LATERAL (SELECT UNNEST(string_split_regex(LOWER(d.text), '[ \t\n\x0B\f\r]+')) AS token) t
   WHERE t.token <> ''
 ),
 th AS ({th}
@@ -1071,8 +1071,8 @@ SELECT doc_id, {pred} AS pred_lang, {best} AS hits FROM scored"""
 
     sql["token_counts"] = r"""
 SELECT doc_id,
-       LENGTH(regexp_extract_all(text, '\S+')) AS ws_tokens,
-       LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+       LENGTH(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS ws_tokens,
+       LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \t\n\x0B\f\rA-Za-z0-9]'))
          AS bpe_ish_tokens,
        LENGTH(text) AS n_chars
 FROM documents"""
@@ -1081,7 +1081,7 @@ FROM documents"""
 WITH feat AS (
   SELECT doc_id,
          LENGTH(text) AS n_chars,
-         LENGTH(regexp_extract_all(text, '\S+')) AS n_words,
+         LENGTH(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
          LENGTH(regexp_extract_all(text, '[A-Za-z]')) AS n_letters,
          LENGTH(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
          LENGTH(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that)\b'))
@@ -1110,7 +1110,7 @@ FROM ratios"""
 
     sql["doc_fingerprint"] = r"""
 SELECT doc_id,
-       SHA256(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint
+       SHA256(TRIM(regexp_replace(LOWER(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint
 FROM documents"""
 
     sql["multimodal_meta"] = """

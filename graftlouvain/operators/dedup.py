@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graftlouvain.operators.textstats import WS_RE as _WS_RE
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """[doc_id, content_sha, canonical_id, is_duplicate] — canonical = min id
@@ -219,18 +221,21 @@ def minhash_lsh_pairs(
     ≥ threshold (same computation as :func:`ngram_jaccard_pairs`) restricted
     to the candidate set.
 
-    ``eager`` (default) materializes the exploded gram table ONCE and shares
-    it between the signature pass and the verification pass — otherwise each
+    ``eager`` (default) CACHES the exploded gram table once and shares it
+    between the signature pass and the verification pass — otherwise each
     pass re-scans and re-explodes the corpus (the gram explode is the
-    dominant scan cost). The returned DataFrame is then already computed and
-    the intermediate is unpersisted before returning (no cache leak)."""
+    dominant scan cost). Eager mode computes the result AT CALL TIME (the
+    output is localCheckpoint-pinned so the gram cache can be released
+    immediately — the checkpoint blocks themselves are freed by GC when the
+    returned DataFrame is dropped); callers that only want a lazy plan pass
+    ``eager=False``."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     grams = doc_ngrams(docs, id_col, text_col, n)
+    shared_cache = None
     if eager and verify_exact:
-        from graftlouvain.functions.iterate import materialize
-
-        grams = materialize(grams)
+        shared_cache = grams.cache()
+        grams = shared_cache
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, grams=grams)
     banded = sigs.select(
         "doc_id",
@@ -273,8 +278,8 @@ def minhash_lsh_pairs(
     if eager and verify_exact:
         from graftlouvain.functions.iterate import materialize
 
-        out = materialize(out)
-        grams.unpersist()
+        out = materialize(out)  # one pass, computed via the shared gram cache
+        shared_cache.unpersist()  # real release — the cache, not a checkpoint
     return out
 
 
@@ -292,12 +297,15 @@ def simhash64(
     # bit). Token multiplicity is kept (frequency-weighted votes, Charikar
     # 2002). Empty documents get simhash 0 via the left join. The 64 token-hash
     # bits come from md5 (bits 0-59 from h1, 60-63 from h2 — :func:`_md5_pair`)
-    # so the DuckDB oracle reproduces them exactly.
+    # so the DuckDB oracle reproduces them exactly. Tokenization uses the
+    # explicit whitespace class _WS_RE in BOTH engines: Java's \s includes
+    # \x0B (vertical tab) while RE2's does not, so a bare \s+ would tokenize
+    # a \x0B-carrying document differently and break bit-exact parity.
     h1, h2 = _md5_pair(F.col("token"))
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+            F.filter(F.split(F.lower(F.col(text_col)), _WS_RE), lambda t: t != "")
         ).alias("token"),
     ).select("doc_id", h1.alias("h1"), h2.alias("h2"))
 

@@ -9,6 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Explicit whitespace class shared by the Spark operators (Java regex) and
+# their DuckDB oracles (RE2): Java's \s includes \x0B (vertical tab), RE2's
+# does not, so a bare \s/\S would silently diverge on \x0B-carrying text.
+# Both engines understand these escapes inside a character class.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_RE = "[" + WS_CHARS + "]+"
+NON_WS_RE = "[^" + WS_CHARS + "]"
+
 # Tiny per-language stopword marker sets for the n-gram/stopword-hit heuristic.
 # Deliberately small and hard-coded: the heuristic (argmax of stopword hits,
 # ties broken by language name) must be reproducible in ANSI SQL.
@@ -49,8 +57,8 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     t = F.col(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.regexp_count(t, F.lit(r"\S+")).alias("ws_tokens"),
-        F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")).alias("bpe_ish_tokens"),
+        F.regexp_count(t, F.lit(NON_WS_RE + "+")).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^" + WS_CHARS + "A-Za-z0-9]")).alias("bpe_ish_tokens"),
         F.length(t).alias("n_chars"),
     )
 
@@ -65,7 +73,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_words = F.regexp_count(t, F.lit(r"\S+"))
+    n_words = F.regexp_count(t, F.lit(NON_WS_RE + "+"))
     n_letters = F.regexp_count(t, F.lit(r"[A-Za-z]"))
     n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
     n_stop = _hits(text_col, LANG_MARKERS["en"])
@@ -94,7 +102,7 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     text: the canonical near-exact-dup fingerprint (robust to formatting-only
     edits). A rolling-hash shingle fingerprint lives in dedup.minhash_signatures;
     this is the single-value document fingerprint."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " "))
     return docs.select(
         F.col(id_col).alias("doc_id"), F.sha2(norm, 256).alias("fingerprint")
     )

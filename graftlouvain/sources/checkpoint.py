@@ -40,6 +40,8 @@ class CheckpointManager:
         # cache: one compute + one write, and the lineage describes the exact
         # partition layout that lands in the files (a recompute after the
         # write could lay partitions out differently under shuffle/AQE).
+        # The timer therefore spans materialization + lineage + file write —
+        # the manifest records it as persist_wall_ms to say exactly that.
         cached = df.cache()
         lineage = [
             {"partition_id": int(r["pid"]), "rows": int(r["rows"])}
@@ -83,7 +85,7 @@ class CheckpointManager:
                 "moves": moves,
                 "modularity": modularity,
                 "superstep_wall_ms": wall_ms,
-                "write_wall_ms": write_ms,
+                "persist_wall_ms": write_ms,
             }
         )
 

@@ -249,6 +249,24 @@ def test_hash_sample_deterministic(spark):
     assert a == b and len(a) > 0
 
 
+def test_whitespace_class_cross_engine(spark):
+    """Java's \\s includes \\x0B (vertical tab); RE2's (DuckDB) does not. The
+    operators and their oracles pin an explicit character class so a
+    vertical-tab document tokenizes identically in both engines."""
+    import duckdb
+
+    from graftlouvain.operators.textstats import token_counts
+
+    docs = spark.createDataFrame([(0, "a\x0bb c")], "doc_id long, text string")
+    got = token_counts(docs).first()["ws_tokens"]
+    con = duckdb.connect()
+    want = con.sql(
+        r"SELECT LENGTH(regexp_extract_all('a' || chr(11) || 'b c',"
+        r" '[^ \t\n\x0B\f\r]+'))"
+    ).fetchone()[0]
+    assert got == want == 3  # \x0B splits in BOTH engines (bare \S+ gives 2 in RE2)
+
+
 def test_approx_quantiles_tolerance(spark):
     """The 100 TB quantile path (approx_percentile / Greenwald-Khanna): when
     a group EXCEEDS the accuracy parameter the sketch really approximates, and
