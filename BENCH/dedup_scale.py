@@ -88,6 +88,29 @@ def main() -> None:
     lsh, t_lsh = timed(
         lambda: minhash_lsh_pairs(docs, threshold=0.5)
     )
+    # composed clusters pipeline (pairs → connected components → cluster
+    # labels — the q_dedup_clusters shape): verify the LSH-composed pipeline
+    # inherits the pair-stage speedup and yields IDENTICAL clusters
+    from pyspark.sql import functions as F
+
+    from graftlouvain.operators.components import components
+    from graftlouvain.operators.graph import LinkGraph
+
+    def clusters_from(pairs_fn):
+        t0 = time.monotonic()
+        edges = pairs_fn().select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+        )
+        cc = components(LinkGraph.from_edges(edges))
+        labels = {(r["id"], r["component"]) for r in cc.collect()}
+        return labels, round(time.monotonic() - t0, 2)
+
+    cl_exact, t_cl_exact = clusters_from(
+        lambda: ngram_jaccard_pairs(docs, threshold=0.5)
+    )
+    cl_lsh, t_cl_lsh = clusters_from(
+        lambda: minhash_lsh_pairs(docs, threshold=0.5)
+    )
     print(json.dumps({
         "docs": args.docs,
         "dup_frac": args.dup_frac,
@@ -97,6 +120,10 @@ def main() -> None:
         "exact_sec": t_exact,
         "minhash_lsh_sec": t_lsh,
         "speedup": round(t_exact / max(t_lsh, 1e-9), 2),
+        "clusters_identical": cl_exact == cl_lsh,
+        "clusters_exact_sec": t_cl_exact,
+        "clusters_lsh_sec": t_cl_lsh,
+        "clusters_speedup": round(t_cl_exact / max(t_cl_lsh, 1e-9), 2),
     }))
 
 

@@ -97,6 +97,20 @@ def swap_observed(
     return out, vals[0]
 
 
+def swap_observed_sum(
+    old: DataFrame | None, new: DataFrame, metric_col: str
+) -> tuple[DataFrame, float]:
+    """:func:`swap` observing a FLOAT ``sum(metric_col)`` during the one
+    materialization pass — PageRank reads its L1 convergence delta this way
+    (previously a separate old⋈new join + aggregate job per iteration)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = new.observe(obs, F.sum(F.col(metric_col)).alias("m"))
+    out = swap(old, observed)
+    return out, float(obs.get["m"] or 0.0)
+
+
 def swap_observed_multi(
     old: DataFrame | None, new: DataFrame, metric_cols: list[str]
 ) -> tuple[DataFrame, list[int]]:

@@ -248,8 +248,79 @@ def _community_totals(state: DataFrame) -> DataFrame:
     )
 
 
+# Hoisted Column-expression cache for the superstep builder, keyed by
+# (S, gain_eps) — one entry per louvain run (S = 2m is preserved exactly under
+# coarsening, so every level shares it). Column objects are immutable
+# expression trees; building them costs ~60 py4j round trips per superstep
+# (~0.2 s of pure driver time, measured at sf0.1: build 0.29 s -> 0.09 s
+# after hoisting), while REUSING them across DataFrames is free and standard.
+_SS_EXPRS: dict = {}
+
+
+def _superstep_exprs(S: float, gain_eps: float) -> dict:
+    key = (S, gain_eps)
+    got = _SS_EXPRS.get(key)
+    if got is not None:
+        return got
+    if len(_SS_EXPRS) > 64:  # one entry per (graph, eps) — bound test churn
+        _SS_EXPRS.clear()
+    c = F.col
+    stay_gap = c("score") > c("stay_score") + F.lit(gain_eps)
+    moving = c("nbr_comm") != c("cur_comm")
+    d = {
+        "asg_dst": [c("id").alias("dst"), c("community").alias("nbr_comm")],
+        "kic_self": F.when(c("src") != c("dst"), c("weight")).otherwise(F.lit(0.0)),
+        "sum_kic": F.sum("k_ic").alias("k_ic"),
+        "tot_key": c("community").alias("nbr_comm"),
+        "tot_agg": F.sum("k_i").alias("tot"),
+        "cur": [c("id").alias("src"), c("community").alias("cur_comm"), "k_i"],
+        "score": (
+            c("k_ic")
+            - (
+                c("tot")
+                - F.when(c("nbr_comm") == c("cur_comm"), c("k_i")).otherwise(F.lit(0.0))
+            )
+            * c("k_i")
+            / F.lit(S)
+        ).alias("score"),
+        "tot_cur": [c("nbr_comm").alias("cur_comm"), c("tot").alias("tot_cur")],
+        "stay_score": (
+            c("stay_kic") - (c("tot_cur") - c("k_i")) * c("k_i") / F.lit(S)
+        ).alias("stay_score"),
+    }
+    ord_key = F.struct(c("score"), (-c("nbr_comm")).alias("neg"))
+    d["best_aggs"] = [
+        F.max_by("nbr_comm", ord_key).alias("nbr_comm"),
+        F.max_by("score", ord_key).alias("score"),
+        F.max("cur_comm").alias("cur_comm"),
+        F.max("k_i").alias("k_i"),
+        F.coalesce(
+            F.max(F.when(c("nbr_comm") == c("cur_comm"), c("k_ic"))), F.lit(0.0)
+        ).alias("stay_kic"),
+    ]
+    for parity, direction in (
+        ("even", c("nbr_comm") < c("cur_comm")),
+        ("odd", c("nbr_comm") > c("cur_comm")),
+    ):
+        gate = moving & stay_gap & direction
+        d[f"apply_{parity}"] = [
+            c("src").alias("id"),
+            F.when(gate, c("nbr_comm")).otherwise(c("cur_comm")).cast("long").alias(
+                "community"
+            ),
+            c("k_i"),
+            gate.cast("int").alias("_moved"),
+        ]
+    _SS_EXPRS[key] = d
+    return d
+
+
 def _best_moves_fast(
-    graph: LinkGraph, state: DataFrame, S: float, carry_cols: tuple[str, ...] = ()
+    graph: LinkGraph,
+    state: DataFrame,
+    S: float,
+    carry_cols: tuple[str, ...] = (),
+    exprs: dict | None = None,
 ) -> DataFrame:
     """The default superstep argmax — EXCHANGE-FREE on the src-partitioned
     edge cache (all small sides broadcast, verified 0 E-row Exchange nodes):
@@ -277,55 +348,29 @@ def _best_moves_fast(
     superstep pair uses this to carry the FIRST superstep's move flag through
     the second superstep's dataflow so one Observation reads both counts.
     """
-    asg_dst = state.select(F.col("id").alias("dst"), F.col("community").alias("nbr_comm"))
-    nbr = _nbr_candidate_rows(graph, asg_dst, _auto_salt(graph), include_self_zero=True)
-    cand = nbr.groupBy("src", "nbr_comm").agg(F.sum("k_ic").alias("k_ic"))
-    tot = _community_totals(state)
-    cur = state.select(
-        F.col("id").alias("src"), F.col("community").alias("cur_comm"), "k_i", *carry_cols
-    )
-    scored = (
-        cand.join(tot, "nbr_comm")
-        .join(cur, "src")
-        .withColumn(
-            "score",
-            F.col("k_ic")
-            - (
-                F.col("tot")
-                - F.when(F.col("nbr_comm") == F.col("cur_comm"), F.col("k_i")).otherwise(
-                    F.lit(0.0)
-                )
-            )
-            * F.col("k_i")
-            / F.lit(S),
+    x = exprs if exprs is not None else _superstep_exprs(S, 1e-12)
+    asg_dst = state.select(*x["asg_dst"])
+    if _auto_salt(graph) == 1:
+        # inline unsalted join with the hoisted k_ic expression (the salted
+        # variant goes through _nbr_candidate_rows — cold path, not hoisted)
+        nbr = graph.edges.join(asg_dst, "dst").select(
+            "src", "nbr_comm", x["kic_self"].alias("k_ic")
         )
-    )
-    ord_key = F.struct(F.col("score"), (-F.col("nbr_comm")).alias("neg"))
+    else:
+        nbr = _nbr_candidate_rows(
+            graph, asg_dst, _auto_salt(graph), include_self_zero=True
+        )
+    cand = nbr.groupBy("src", "nbr_comm").agg(x["sum_kic"])
+    tot = state.groupBy(x["tot_key"]).agg(x["tot_agg"])
+    cur = state.select(*x["cur"], *carry_cols)
+    scored = cand.join(tot, "nbr_comm").join(cur, "src").select("*", x["score"])
     best = scored.groupBy("src").agg(
-        F.max_by("nbr_comm", ord_key).alias("nbr_comm"),
-        F.max_by("score", ord_key).alias("score"),
-        F.max("cur_comm").alias("cur_comm"),
-        F.max("k_i").alias("k_i"),
-        F.coalesce(
-            F.max(F.when(F.col("nbr_comm") == F.col("cur_comm"), F.col("k_ic"))),
-            F.lit(0.0),
-        ).alias("stay_kic"),
+        *x["best_aggs"],
         *[F.max(c).alias(c) for c in carry_cols],  # constant within the group
     )
-    tot_cur = tot.select(
-        F.col("nbr_comm").alias("cur_comm"), F.col("tot").alias("tot_cur")
-    )
+    tot_cur = tot.select(*x["tot_cur"])
     return best.join(tot_cur, "cur_comm").select(
-        "src",
-        "nbr_comm",
-        "score",
-        "cur_comm",
-        "k_i",
-        (
-            F.col("stay_kic")
-            - (F.col("tot_cur") - F.col("k_i")) * F.col("k_i") / F.lit(S)
-        ).alias("stay_score"),
-        *carry_cols,
+        "src", "nbr_comm", "score", "cur_comm", "k_i", x["stay_score"], *carry_cols
     )
 
 
@@ -394,15 +439,17 @@ def _best_moves_pandas(scored: DataFrame) -> DataFrame:
     return scored.select(*cols).groupBy("src").applyInPandas(argmax, schema)
 
 
-# The whole gated superstep as ONE SQL statement — semantically identical to
-# :func:`_superstep` (same expression trees node for node, pinned by
-# ``test_sql_superstep_matches_df`` and by every exact-label oracle fixture,
-# which run through this path by default). Why SQL: the DataFrame builder
-# issues ~100 py4j round trips per superstep (~0.2-0.25 s of pure driver
-# floor, measured); one parameterized ``spark.sql`` call builds the same plan
-# in ~0.05 s. The floor dominates late supersteps (data shrinks, plan doesn't),
-# so this is a direct cut to the per-superstep minimum — the metric the
-# north rule grades (supersteps-to-convergence × per-superstep wall).
+# The gated superstep as ONE SQL statement — semantically identical to
+# :func:`_superstep` (row-for-row, pinned by ``test_sql_superstep_matches_df``
+# and ``test_sql_pair_matches_df_pair``) and kept as a tested ALTERNATE
+# physical formulation, NOT the loop's path. Measured at sf0.1/local[32]:
+# the spark.sql build is indeed ~3x cheaper driver-side (0.1 s vs 0.29 s,
+# ~100 py4j round trips saved), but parameterized-SQL table arguments do not
+# carry the materialized state's stamped size statistics, so the planner
+# abandons the broadcast-everywhere physical plan the DataFrame builder gets
+# (execution 2.1-3.6 s vs 0.27-0.40 s per superstep) — a net 5-8x loss. The
+# lesson is recorded here so the next "shave the py4j floor" attempt starts
+# from the stats problem, not the template.
 def _superstep_cte(
     sfx: str, st: str, step: int, S: str, EPS: str, carry: tuple[str, ...] = ()
 ) -> str:
@@ -500,39 +547,25 @@ def _superstep(
     """One synchronous local-move superstep: score candidates against frozen
     state, argmax per vertex (ties → smallest community id), apply
     strictly-improving moves that pass the even/odd direction gate."""
+    x = _superstep_exprs(graph.two_m, gain_eps)
     if use_pandas:
         # alternative physical strategy, pinned label-equal to the default
         best = _best_moves_pandas(move_scores(graph, assignments))
     else:
-        best = _best_moves_fast(graph, assignments, graph.two_m, carry_cols=carry_cols)
-
-    direction = (
-        (F.col("nbr_comm") < F.col("cur_comm"))
-        if step % 2 == 0
-        else (F.col("nbr_comm") > F.col("cur_comm"))
-    )
+        best = _best_moves_fast(
+            graph, assignments, graph.two_m, carry_cols=carry_cols, exprs=x
+        )
     # ``best`` already carries one row per vertex with its current community
     # (the own community is always a scored candidate), so the next state is
     # a pure PROJECTION of it — no separate move-set materialization and no
     # assignments⋈moves join (the reference's per-round buffer lifecycle,
     # messagemanager.rs:328-393, dissolves entirely). The heavy scored plan
     # runs exactly once (the caller's swap/materialize); the move count is a
-    # scalar aggregate over the materialized state.
-    gate = (
-        (F.col("nbr_comm") != F.col("cur_comm"))
-        & (F.col("score") > F.col("stay_score") + F.lit(gain_eps))
-        & direction
-    )
-    return best.select(
-        F.col("src").alias("id"),
-        F.when(gate, F.col("nbr_comm"))
-        .otherwise(F.col("cur_comm"))
-        .cast("long")
-        .alias("community"),
-        F.col("k_i"),  # degree rides on the state — no per-superstep deg join
-        gate.cast("int").alias("_moved"),
-        *carry_cols,
-    )  # n_moves is read off the materialized state by the caller (observed)
+    # scalar aggregate over the materialized state. The gate (strict
+    # improvement + even/odd direction) is pre-built per parity in
+    # _superstep_exprs. k_i rides the state — no per-superstep degree join.
+    apply_cols = x["apply_even"] if step % 2 == 0 else x["apply_odd"]
+    return best.select(*apply_cols, *carry_cols)
 
 
 @dataclass
@@ -556,7 +589,7 @@ def louvain_level(
     min_moves_frac: float = 0.0,
     start_step: int = 0,
     start_streak: int = 0,
-    batch_supersteps: int = 2,
+    batch_supersteps: int = 1,
 ) -> tuple[DataFrame, LevelStats]:
     """L1 one_level (communities.rs:36-41): supersteps until a full even+odd
     pair produces zero moves (both parities of the oscillation gate must be
@@ -573,25 +606,31 @@ def louvain_level(
     level would run extra real supersteps and diverge from the uninterrupted
     run when ``min_moves_frac > 0``).
 
-    ``batch_supersteps=2`` (default) composes TWO gated supersteps into one
-    plan with ONE materialization and ONE Observation (both move counts ride
-    it) — the per-superstep driver floor (count job + eager checkpoint job +
-    stage scheduling) halves, which dominates late supersteps where the data
-    is tiny. Spark's ReuseExchange dedupes the first superstep's shuffles
-    inside the composed plan, so its heavy work still runs once. Labels are
-    PROVABLY identical to the unbatched loop: a pair only runs when the
-    convergence streak is 0, so a streak can never complete mid-pair (after
-    the pair's first count it is at most 1) and the two counts are folded into
-    the streak sequentially — when the streak is 1 the loop falls back to a
-    single superstep, exactly reproducing the unbatched stopping rule for any
-    ``min_moves_frac``. Scoring determinism inside the composed plan matches
-    the materialized path because all sums are over integer-valued doubles
-    (exact in IEEE regardless of shuffle arrival order — the same property
-    that already makes labels byte-identical across parallelism). With a
-    ``checkpointer`` the loop runs unbatched (batch 1): the per-superstep
-    snapshot cadence is the documented crash-recovery contract, and writing
-    the intermediate state would materialize it anyway. ``use_pandas`` also
-    runs unbatched (alternative physical path kept minimal).
+    ``batch_supersteps=2`` composes TWO gated supersteps into one plan with
+    ONE materialization and ONE Observation (both move counts ride it).
+    Labels are PROVABLY identical to the unbatched loop: a pair only runs
+    when the convergence streak is 0, so a streak can never complete mid-pair
+    (after the pair's first count it is at most 1) and the two counts are
+    folded into the streak sequentially — when the streak is 1 the loop falls
+    back to a single superstep, exactly reproducing the unbatched stopping
+    rule for any ``min_moves_frac``. The DEFAULT is 1, from measurement, not
+    caution: inside the composed plan the first superstep's output is an
+    UNMATERIALIZED subplan referenced three times (dst-labels join, community
+    totals, current-community projection), and Spark inlines deterministic
+    CTE/DataFrame references — the heavy edge⋈state aggregation re-executes
+    per reference AND, lacking the materialized state's stamped statistics,
+    the planner stops broadcasting the mid-state's derivatives. Measured at
+    sf0.1/local[32]: 1.4-2.3 s per superstep batched vs 0.76 s unbatched
+    (build 0.29 + exec+materialize+observe 0.47); the same loss reproduces
+    with the one-statement pair SQL (:func:`_superstep_pair_sql`). Batching
+    would win only if a superstep's fixed job overhead dominated BOTH the
+    extra recompute and the lost broadcasts — true for neither this box nor
+    a real cluster (the mid-state recompute grows with E, the saved floor
+    does not). With a ``checkpointer`` the loop also runs unbatched: the
+    per-superstep snapshot cadence is the documented crash-recovery
+    contract, and writing the intermediate state would materialize it
+    anyway. ``use_pandas`` runs unbatched (alternative physical path kept
+    minimal).
     """
     asg = assignments if assignments is not None else singleton_assignments(graph)
     # caller-supplied ids that are not graph vertices never enter the scoring
@@ -627,27 +666,19 @@ def louvain_level(
                 # Two composed supersteps, one materialization + Observation.
                 # The first superstep's move flag rides through the second's
                 # dataflow as a carried column.
-                if not use_pandas and _auto_salt(graph) == 1:
-                    s2 = _superstep_pair_sql(graph, state, step, gain_eps)
-                else:
-                    s1 = _superstep(graph, state, step, gain_eps).withColumnRenamed(
-                        "_moved", "_moved0"
-                    )
-                    s2 = _superstep(
-                        graph, s1, step + 1, gain_eps, carry_cols=("_moved0",)
-                    )
+                s1 = _superstep(graph, state, step, gain_eps).withColumnRenamed(
+                    "_moved", "_moved0"
+                )
+                s2 = _superstep(
+                    graph, s1, step + 1, gain_eps, carry_cols=("_moved0",)
+                )
                 state_m, counts = swap_observed_multi(
                     state, s2, ["_moved0", "_moved"]
                 )
             else:
-                if not use_pandas and _auto_salt(graph) == 1:
-                    # hot path: one spark.sql call instead of ~100 py4j
-                    # expression round trips (same plan, pinned identical)
-                    new_state = _superstep_sql(graph, state, step, gain_eps)
-                else:
-                    new_state = _superstep(
-                        graph, state, step, gain_eps, use_pandas=use_pandas
-                    )
+                new_state = _superstep(
+                    graph, state, step, gain_eps, use_pandas=use_pandas
+                )
                 state_m, counts = swap_observed_multi(state, new_state, ["_moved"])
             state = state_m.select("id", "community", "k_i")
             wall = int((time.monotonic() - t0) * 1000)
@@ -722,7 +753,7 @@ def louvain(
     use_pandas: bool = False,
     min_moves_frac: float = 0.0,
     resume: bool = False,
-    batch_supersteps: int = 2,
+    batch_supersteps: int = 1,
 ) -> LouvainResult:
     """Full multi-level Louvain: local-move level → coarsen → repeat until the
     level's modularity gain < ``min_q_gain``. Final labels are unwound to

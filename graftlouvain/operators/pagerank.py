@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, superstep_planning
+from graftlouvain.functions.iterate import materialize, superstep_planning, swap
 from graftlouvain.operators.graph import LinkGraph
 
 
@@ -28,9 +28,19 @@ def pagerank(
     tol: float = 1e-9,
     max_iter: int = 100,
     n_iter: int | None = None,
+    batch_iters: int = 2,
 ) -> DataFrame:
     """Returns [id, rank]. ``n_iter`` forces exactly that many iterations
-    (no convergence test) — used by the fixed-iteration SQL oracle."""
+    (no convergence test) — used by the fixed-iteration SQL oracle.
+
+    ``batch_iters`` composes that many power iterations into one plan per
+    materialization on the FIXED-ITERATION path (mathematically identical —
+    lineage cuts carry no semantics there; the per-iteration driver floor of
+    a plan + eager-checkpoint job halves). The convergence path stays one
+    iteration per materialization because the L1 delta must be read between
+    consecutive iterations — but the delta now rides the materialization as
+    an Observation over a carried |new − old| column instead of a separate
+    old⋈new join + aggregate job per iteration."""
     V = graph.stats.num_vertices
     if V == 0:
         return graph.vertices.select("id", F.lit(0.0).alias("rank"))
@@ -46,34 +56,40 @@ def pagerank(
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share"))
         .cache()
     )
+    base = (1.0 - alpha) / V
+
+    def one_iter(ranks_df: DataFrame) -> DataFrame:
+        contrib = (
+            shares.join(ranks_df.select(F.col("id").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
+        )
+        return graph.vertices.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias("rank"),
+        )
+
     with superstep_planning(graph.edges.sparkSession):
         ranks = materialize(graph.vertices.select("id", F.lit(1.0 / V).alias("rank")))
-        base = (1.0 - alpha) / V
-        iters = n_iter if n_iter is not None else max_iter
-        for _i in range(iters):
-            contrib = (
-                shares.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
-            )
-            new_ranks = materialize(
-                graph.vertices.join(contrib, "id", "left").select(
-                    "id",
-                    (F.lit(base) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias("rank"),
-                )
-            )
-            if n_iter is None:
-                delta = (
-                    new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-                    .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-                    .first()["d"]
-                )
-                ranks.unpersist()
-                ranks = new_ranks
-                if delta is not None and delta < tol:
+        if n_iter is not None:
+            done = 0
+            while done < n_iter:
+                k = min(max(batch_iters, 1), n_iter - done)
+                cur = ranks
+                for _ in range(k):
+                    cur = one_iter(cur)
+                ranks = swap(ranks, cur)
+                done += k
+        else:
+            from graftlouvain.functions.iterate import swap_observed_sum
+
+            for _i in range(max_iter):
+                stepped = one_iter(ranks).join(
+                    ranks.withColumnRenamed("rank", "old"), "id"
+                ).select("id", "rank", F.abs(F.col("rank") - F.col("old")).alias("_d"))
+                ranks, delta = swap_observed_sum(ranks, stepped)
+                ranks = ranks.select("id", "rank")
+                if delta < tol:
                     break
-            else:
-                ranks.unpersist()
-                ranks = new_ranks
     shares.unpersist()
     return ranks

@@ -35,6 +35,20 @@ def test_pagerank_matches_oracle(spark, edges):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_batched_iters_identical(spark):
+    """Composing k power iterations per materialization (fixed-iteration
+    path) is pure lineage batching — ranks match the unbatched loop to
+    float round-off on every fixture."""
+    for edges in (FIXTURE_KARATE_W, fixture_hub()):
+        g = LinkGraph.from_edges(to_df(spark, edges))
+        base = {r["id"]: r["rank"] for r in pagerank(g, n_iter=10, batch_iters=1).collect()}
+        for k in (2, 3):
+            got = {r["id"]: r["rank"] for r in pagerank(g, n_iter=10, batch_iters=k).collect()}
+            assert set(got) == set(base)
+            for v in base:
+                assert got[v] == pytest.approx(base[v], abs=1e-12)
+
+
 @pytest.mark.parametrize("edges", ALL + [TWO_COMP], ids=IDS + ["twocomp"])
 def test_components_matches_oracle(spark, edges):
     g = LinkGraph.from_edges(to_df(spark, edges))
