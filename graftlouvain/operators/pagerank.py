@@ -87,7 +87,7 @@ def pagerank(
                 stepped = one_iter(ranks).join(
                     ranks.withColumnRenamed("rank", "old"), "id"
                 ).select("id", "rank", F.abs(F.col("rank") - F.col("old")).alias("_d"))
-                ranks, delta = swap_observed_sum(ranks, stepped)
+                ranks, delta = swap_observed_sum(ranks, stepped, "_d")
                 ranks = ranks.select("id", "rank")
                 if delta < tol:
                     break
