@@ -28,18 +28,22 @@ def pagerank(
     tol: float = 1e-9,
     max_iter: int = 100,
     n_iter: int | None = None,
-    batch_iters: int = 2,
+    batch_iters: int = 1,
 ) -> DataFrame:
     """Returns [id, rank]. ``n_iter`` forces exactly that many iterations
     (no convergence test) — used by the fixed-iteration SQL oracle.
 
     ``batch_iters`` composes that many power iterations into one plan per
-    materialization on the FIXED-ITERATION path (mathematically identical —
-    lineage cuts carry no semantics there; the per-iteration driver floor of
-    a plan + eager-checkpoint job halves). The convergence path stays one
+    materialization on the fixed-iteration path (mathematically identical —
+    lineage cuts carry no semantics there; ranks pinned to 1e-12 in pytest).
+    Default 1 FROM MEASUREMENT: the composed plan's intermediate rank table
+    is an unmaterialized subplan without the stamped statistics the planner
+    needs, so batching net-loses exactly like the Louvain superstep pair
+    (same-session interleaved medians at sf0.1/local[32], 10 iters:
+    4.10 s / 4.55 s / 5.44 s for batch 1/2/3). The convergence path runs one
     iteration per materialization because the L1 delta must be read between
-    consecutive iterations — but the delta now rides the materialization as
-    an Observation over a carried |new − old| column instead of a separate
+    consecutive iterations — the delta rides the materialization as an
+    Observation over a carried |new − old| column instead of a separate
     old⋈new join + aggregate job per iteration."""
     V = graph.stats.num_vertices
     if V == 0:
