@@ -170,6 +170,84 @@ def q_ingest_cochange(spark, sf):
     return pairs_by_key(keyed, "commit", max_group=5)
 
 
+def _part_graph(spark, sf) -> LinkGraph:
+    """Sparse part-co-occurrence graph (the q_ingest_cochange edge table) —
+    the supplier graph is complete at every SF (every supplier pair shares an
+    order), which makes structural metrics trivial (all clustering coeffs 1,
+    all jaccards 1, empty peeling); the capped part graph has real structure."""
+    from graftlouvain.sources.edges import pairs_by_key
+
+    li = _read(spark, sf, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    keyed = li.select(
+        F.col("l_orderkey").alias("commit"), F.col("l_partkey").alias("id")
+    )
+    return LinkGraph.from_edges(pairs_by_key(keyed, "commit", max_group=5))
+
+
+_PART_EDGES_CTE = """
+pk AS (
+  SELECT DISTINCT l_orderkey AS k, l_partkey AS id
+  FROM lineitem WHERE l_orderkey % 10 = 0
+),
+pkeep AS (SELECT k FROM pk GROUP BY k HAVING COUNT(*) BETWEEN 2 AND 5),
+pkk AS (SELECT pk.k, pk.id FROM pk JOIN pkeep USING (k)),
+pedges AS (
+  SELECT a.id AS src, b.id AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM pkk a JOIN pkk b ON a.k = b.k AND a.id < b.id GROUP BY 1, 2
+),
+psym AS (
+  SELECT src, dst, weight FROM pedges
+  UNION ALL SELECT dst, src, weight FROM pedges
+),
+pdeg AS (
+  SELECT src AS id, SUM(weight) AS degree, COUNT(*) AS nbrs
+  FROM psym GROUP BY 1
+)
+"""
+
+
+def q_clustering_coeff(spark, sf):
+    """Local clustering coefficients over the part graph (triangle stage =
+    the degree-oriented wedge join of triangles_per_vertex)."""
+    from graftlouvain.operators.triangles import clustering_coefficients
+
+    return clustering_coefficients(_part_graph(spark, sf)).select(
+        "id", "nbrs", "triangles", "coeff"
+    )
+
+
+def q_neighbor_jaccard(spark, sf):
+    """Per-edge neighbor-set Jaccard (link-prediction feature) over the part
+    graph."""
+    from graftlouvain.operators.metrics import neighbor_jaccard
+
+    return neighbor_jaccard(_part_graph(spark, sf)).select(
+        "src", "dst", "common", "jaccard"
+    )
+
+
+def q_degree_assortativity(spark, sf):
+    """Weighted-degree assortativity (Pearson over directed edges) of the
+    part graph — one scalar row."""
+    from graftlouvain.operators.metrics import degree_assortativity
+
+    return degree_assortativity(_part_graph(spark, sf))
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 12
+
+
+def q_kcore(spark, sf):
+    """3-core of the part graph by synchronous peeling, fixed 12 rounds (the
+    SQL twin unrolls the same 12 — peeling is monotone, so extra rounds are
+    no-ops once stable; true-fixpoint equality is pinned against a sequential
+    oracle in pytest)."""
+    from graftlouvain.operators.metrics import kcore
+
+    return kcore(_part_graph(spark, sf), KCORE_K, rounds=KCORE_ROUNDS)
+
+
 def q_graph_counts(spark, sf):
     """G1/G7/A6: global vertex count, directed edge count, total weight (2m)."""
     g = _graph(spark, sf)
@@ -526,6 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_build": q_edges_build,
         "ingest_file_sha": q_ingest_file_sha,
         "ingest_cochange": q_ingest_cochange,
+        "clustering_coeff": q_clustering_coeff,
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "degree_assortativity": q_degree_assortativity,
+        "kcore": q_kcore,
         "graph_counts": q_graph_counts,
         "degrees": q_degrees,
         "neighbor_communities": q_neighbor_communities,
@@ -777,6 +859,110 @@ SELECT repo, path,
        CAST(ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS BIGINT) AS id,
        lang, SHA256(content) AS content_sha
 FROM per_file"""
+
+    sql["clustering_coeff"] = f"""WITH {_PART_EDGES_CTE.strip()},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM pedges e1
+  JOIN pedges e2 ON e1.dst = e2.src
+  JOIN pedges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+credit AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+tcount AS (SELECT id, COUNT(*) AS n FROM credit GROUP BY 1)
+SELECT d.id, d.nbrs, COALESCE(t.n, 0) AS triangles,
+       ROUND(CASE WHEN d.nbrs >= 2
+                  THEN 2.0 * COALESCE(t.n, 0) / (d.nbrs * (d.nbrs - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM pdeg d LEFT JOIN tcount t ON d.id = t.id"""
+
+    sql["neighbor_jaccard"] = f"""WITH {_PART_EDGES_CTE.strip()},
+common AS (
+  SELECT p.src, p.dst, COUNT(*) AS common
+  FROM pedges p
+  JOIN psym a ON a.src = p.src
+  JOIN psym b ON b.src = p.dst AND b.dst = a.dst
+  GROUP BY 1, 2
+)
+SELECT p.src, p.dst, COALESCE(c.common, 0) AS common,
+       ROUND(COALESCE(c.common, 0)
+             / (na.nbrs + nb.nbrs - COALESCE(c.common, 0)), 6) AS jaccard
+FROM pedges p
+LEFT JOIN common c ON c.src = p.src AND c.dst = p.dst
+JOIN pdeg na ON na.id = p.src
+JOIN pdeg nb ON nb.id = p.dst"""
+
+    sql["degree_assortativity"] = f"""WITH {_PART_EDGES_CTE.strip()},
+j AS (
+  SELECT ds.degree AS d_src, dd.degree AS d_dst
+  FROM psym e JOIN pdeg ds ON ds.id = e.src JOIN pdeg dd ON dd.id = e.dst
+)
+SELECT ROUND(CORR(d_src, d_dst), 6) AS assortativity FROM j"""
+
+    sql["kcore"] = f"""WITH {_PART_EDGES_CTE.strip()},
+alive0 AS MATERIALIZED (SELECT id FROM pdeg),
+alive1 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive0 a ON e.src = a.id JOIN alive0 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive2 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive1 a ON e.src = a.id JOIN alive1 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive3 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive2 a ON e.src = a.id JOIN alive2 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive4 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive3 a ON e.src = a.id JOIN alive3 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive5 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive4 a ON e.src = a.id JOIN alive4 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive6 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive5 a ON e.src = a.id JOIN alive5 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive7 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive6 a ON e.src = a.id JOIN alive6 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive8 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive7 a ON e.src = a.id JOIN alive7 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive9 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive8 a ON e.src = a.id JOIN alive8 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive10 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive9 a ON e.src = a.id JOIN alive9 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive11 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive10 a ON e.src = a.id JOIN alive10 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+),
+alive12 AS MATERIALIZED (
+  SELECT e.src AS id FROM psym e
+  JOIN alive11 a ON e.src = a.id JOIN alive11 b ON e.dst = b.id
+  GROUP BY e.src HAVING COUNT(*) >= 3
+)
+SELECT id FROM alive12"""
 
     sql["ingest_cochange"] = """
 WITH k AS (

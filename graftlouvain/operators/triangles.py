@@ -58,3 +58,37 @@ def triangles_per_vertex(graph: LinkGraph) -> DataFrame:
         graph.vertices.join(counts, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
+
+
+def clustering_coefficients(graph: LinkGraph) -> DataFrame:
+    """[id, nbrs, triangles, coeff] — local clustering coefficient
+    C(v) = 2·T(v) / (n(v)·(n(v)−1)) with n(v) = #distinct neighbors
+    (self-loops excluded); vertices with fewer than two neighbors get 0.
+    Watts & Strogatz 1998; rounded to 6 dp (the module-wide cross-engine
+    float policy). Cost on top of :func:`triangles_per_vertex`: one
+    edge-table aggregation + a V-row join — the triangle stage's
+    degree-oriented wedge bound (module docstring) still dominates."""
+    tri = triangles_per_vertex(graph)
+    # edges are pair-aggregated (one row per (src, dst)), so COUNT(*) is the
+    # distinct-neighbor count
+    nbrs = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("nbrs"))
+    )
+    n = F.col("nbrs")
+    return (
+        tri.join(nbrs, "id", "left")
+        .select(
+            "id",
+            F.coalesce("nbrs", F.lit(0)).alias("nbrs"),
+            "triangles",
+            F.round(
+                F.when(
+                    F.coalesce(n, F.lit(0)) >= 2,
+                    2.0 * F.col("triangles") / (n * (n - F.lit(1))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coeff"),
+        )
+    )

@@ -1,0 +1,109 @@
+"""Structural-metric operators vs independent pure-Python oracles on the
+shared fixtures (clustering coefficients, neighbor Jaccard, assortativity,
+k-core)."""
+
+import math
+
+import pytest
+
+from graftlouvain.operators.graph import LinkGraph
+from graftlouvain.operators.metrics import degree_assortativity, kcore, neighbor_jaccard
+from graftlouvain.operators.triangles import clustering_coefficients
+
+from tests.fixtures import FIXTURE_28_W, FIXTURE_KARATE_W, FIXTURE_W5, fixture_hub, to_df
+
+
+def _adj(edges):
+    """Undirected distinct-neighbor adjacency (self-loops dropped)."""
+    nbrs = {}
+    for a, b, _w in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    return nbrs
+
+
+@pytest.mark.parametrize(
+    "edges", [FIXTURE_W5, FIXTURE_28_W, FIXTURE_KARATE_W, fixture_hub()],
+    ids=["w5", "fixture28", "karate", "hub"],
+)
+def test_clustering_coefficients_match_python(spark, edges):
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = {
+        r["id"]: (r["nbrs"], r["triangles"], r["coeff"])
+        for r in clustering_coefficients(g).collect()
+    }
+    nbrs = _adj(edges)
+    for v in got:
+        ns = nbrs.get(v, set())
+        tri = sum(1 for a in ns for b in ns if a < b and b in nbrs[a])
+        n = len(ns)
+        coeff = round(2.0 * tri / (n * (n - 1)), 6) if n >= 2 else 0.0
+        assert got[v] == (n, tri, pytest.approx(coeff, abs=1e-9)), v
+
+
+@pytest.mark.parametrize(
+    "edges", [FIXTURE_28_W, FIXTURE_KARATE_W], ids=["fixture28", "karate"]
+)
+def test_neighbor_jaccard_matches_python(spark, edges):
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = {
+        (r["src"], r["dst"]): (r["common"], r["jaccard"])
+        for r in neighbor_jaccard(g).collect()
+    }
+    nbrs = _adj(edges)
+    want_pairs = {(min(a, b), max(a, b)) for a, b, _ in edges if a != b}
+    assert set(got) == want_pairs
+    for (a, b), (common, jac) in got.items():
+        inter = len(nbrs[a] & nbrs[b])
+        union = len(nbrs[a] | nbrs[b])
+        assert common == inter
+        assert jac == pytest.approx(round(inter / union, 6), abs=1e-9)
+
+
+def test_degree_assortativity_matches_python(spark):
+    edges = FIXTURE_KARATE_W
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = degree_assortativity(g).first()["assortativity"]
+    # weighted degrees (self-loop weight once) over both edge orientations
+    deg = {}
+    for a, b, w in edges:
+        deg[a] = deg.get(a, 0.0) + w
+        if a != b:
+            deg[b] = deg.get(b, 0.0) + w
+    xs, ys = [], []
+    for a, b, _w in edges:
+        if a == b:
+            continue
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+    sy = math.sqrt(sum((y - my) ** 2 for y in ys))
+    assert got == pytest.approx(round(cov / (sx * sy), 6), abs=1e-6)
+
+
+def _kcore_python(edges, k):
+    nbrs = _adj(edges)
+    alive = set(nbrs)
+    while True:
+        drop = {v for v in alive if sum(1 for u in nbrs[v] if u in alive) < k}
+        if not drop:
+            return alive
+        alive -= drop
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+@pytest.mark.parametrize(
+    "edges", [FIXTURE_KARATE_W, fixture_hub()], ids=["karate", "hub"]
+)
+def test_kcore_matches_python(spark, edges, k):
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    got = {r["id"] for r in kcore(g, k).collect()}
+    assert got == _kcore_python(edges, k)
+    # fixed-round unrolling (the SQL-oracle twin) reaches the same fixpoint
+    got_fixed = {r["id"] for r in kcore(g, k, rounds=12).collect()}
+    assert got_fixed == got
