@@ -166,6 +166,10 @@ def lsh_topk(
         )
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", "qv", "cv")
+        # a pair colliding in several tables appears once per table; rows are
+        # identical in every column (qv/cv travel with the ids), so keeping an
+        # arbitrary one is deterministic TODAY — if a per-table column (e.g. a
+        # table-local score) is ever added, dedup must key on it explicitly
         .dropDuplicates(["query_id", "vec_id"])
     )
     scored = with_cosine(cands)
@@ -182,15 +186,24 @@ def ivf_cells(
     n_centroids: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assigned) — IVF coarse quantizer with deterministic
     centroid init: the ``n_centroids`` corpus vectors with the smallest
-    md5(vec_id) (a seeded uniform sample — the standard random-subset init;
-    k-means refinement is an optional extra pass, not needed for the
-    recall/scale structure). ``centroids`` = [cell, cv]; ``assigned`` =
-    [vec_id, v, cell] with cell = argmax cosine against the (broadcast)
-    centroid table. Assignment cost is N × C rows — the standard IVF build;
-    C is small, so the join is a broadcast with no corpus shuffle."""
+    md5(vec_id) (a seeded uniform sample — the standard random-subset init).
+    ``centroids`` = [cell, cv]; ``assigned`` = [vec_id, v, cell] with
+    cell = argmax cosine against the (broadcast) centroid table. Assignment
+    cost is N × C rows — the standard IVF build; C is small, so the join is
+    a broadcast with no corpus shuffle.
+
+    ``refine_iters`` runs that many spherical-k-means Lloyd passes after
+    init (assign → per-cell element-wise mean → L2-normalize; Dhillon &
+    Modha 2001): tighter cells cut the probes needed for a given recall.
+    Each pass is one posexplode + two aggregations over N·dim rows — linear,
+    no pairwise work. Refined centroid means depend on float summation
+    order, so the refined build is pytest-recall-verified rather than
+    SQL-hash-oracled (the ``ivf_topk`` driver query stays on the
+    deterministic md5 init)."""
     v = _as_double(vectors, vec_col)
     base = vectors.select(F.col(id_col).alias("vec_id"), v.alias("v"))
     pick = base.select(
@@ -199,14 +212,36 @@ def ivf_cells(
     centroids = pick.select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    scored = (
-        base.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", _cosine6(F.col("v"), F.col("cv")))
-    )
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by("cell", F.struct(F.col("sim"), (-F.col("cell")).alias("neg"))).alias("cell"),
-        F.first("v").alias("v"),
-    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = base.crossJoin(F.broadcast(cent)).withColumn(
+            "sim", _cosine6(F.col("v"), F.col("cv"))
+        )
+        return scored.groupBy("vec_id").agg(
+            F.max_by(
+                "cell", F.struct(F.col("sim"), (-F.col("cell")).alias("neg"))
+            ).alias("cell"),
+            F.first("v").alias("v"),
+        )
+
+    assigned = assign(centroids)
+    for _ in range(refine_iters):
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+        # spherical k-means: normalize so the cosine argmax is the mean's
+        # direction; empty cells simply drop out (standard Lloyd behavior)
+        centroids = means.select(
+            "cell", F.transform("cv", lambda x: x / _norm(F.col("cv"))).alias("cv")
+        )
+        assigned = assign(centroids)
     return centroids, assigned
 
 
@@ -218,6 +253,7 @@ def ivf_topk(
     n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into Voronoi cells of
     deterministic centroids; each query probes its ``n_probe`` nearest cells
@@ -225,7 +261,9 @@ def ivf_topk(
     as :func:`cosine_topk`. Complements :func:`lsh_topk` — IVF gives tunable
     probe/recall and cell-local data locality (cells are the natural
     partitioning key for a 100 TB corpus)."""
-    centroids, assigned = ivf_cells(corpus, n_centroids, id_col, vec_col)
+    centroids, assigned = ivf_cells(
+        corpus, n_centroids, id_col, vec_col, refine_iters=refine_iters
+    )
     qv = queries.select(
         F.col(id_col).alias("query_id"), _as_double(queries, vec_col).alias("qv")
     )

@@ -267,6 +267,28 @@ def test_whitespace_class_cross_engine(spark):
     assert got == want == 3  # \x0B splits in BOTH engines (bare \S+ gives 2 in RE2)
 
 
+def test_ivf_kmeans_refinement(spark, vectors):
+    """Spherical-k-means refinement keeps the IVF structure sound: recall vs
+    brute force stays high, the same top-k schema comes back, and every
+    corpus vector stays assigned to exactly one cell."""
+    from graftlouvain.operators.similarity import cosine_topk, ivf_cells, ivf_topk
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(vectors.where("vec_id < 3"), vectors, k=4).collect()
+    }
+    approx = ivf_topk(
+        vectors.where("vec_id < 3"), vectors, k=4,
+        n_centroids=16, n_probe=8, refine_iters=2,
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(exact & got) / len(exact) >= 0.75
+    _cent, assigned = ivf_cells(vectors, n_centroids=16, refine_iters=2)
+    rows = assigned.collect()
+    assert len(rows) == vectors.count()  # partition of the corpus
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+
+
 def test_approx_quantiles_tolerance(spark):
     """The 100 TB quantile path (approx_percentile / Greenwald-Khanna): when
     a group EXCEEDS the accuracy parameter the sketch really approximates, and
