@@ -824,55 +824,80 @@ def louvain(
                 else:
                     break
     q = q_prev
-    for level in range(start_level, max_levels):
-        asg, stats = louvain_level(
-            cur,
-            assignments=resume_asg if level == start_level else None,
-            max_supersteps=max_supersteps, gain_eps=gain_eps, level=level,
-            checkpointer=checkpointer, use_pandas=use_pandas,
-            min_moves_frac=min_moves_frac,
-            start_step=resume_step if level == start_level else 0,
-            start_streak=resume_streak if level == start_level else 0,
-            batch_supersteps=batch_supersteps,
-        )
-        # Coarsen first, then read the level's Q off the coarse graph's
-        # singleton partition (exactly equal, two scalar aggs instead of two
-        # full edge⋈assignment joins on the fine graph — see
-        # singleton_modularity).
-        nxt = coarsen(cur, asg)
-        q = singleton_modularity(nxt)
-        stats.modularity = q
-        level_stats.append(stats)
-        # Unwind: global community ids are the current level's vertex ids.
-        global_asg = swap(
-            global_asg,
-            global_asg.join(
-                asg.select(
-                    F.col("id").alias("community"), F.col("community").alias("_new")
-                ),
-                "community",
-            ).select("id", F.col("_new").alias("community")),
-        )
-        if checkpointer is not None:
-            checkpointer.save_level(
-                algorithm="louvain", level=level, assignments=global_asg,
-                degrees=cur.degrees, coarse_edges=None, modularity=q,
+    spark = graph.edges.sparkSession
+    p_orig = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        for level in range(start_level, max_levels):
+            asg, stats = louvain_level(
+                cur,
+                assignments=resume_asg if level == start_level else None,
+                max_supersteps=max_supersteps, gain_eps=gain_eps, level=level,
+                checkpointer=checkpointer, use_pandas=use_pandas,
+                min_moves_frac=min_moves_frac,
+                start_step=resume_step if level == start_level else 0,
+                start_streak=resume_streak if level == start_level else 0,
+                batch_supersteps=batch_supersteps,
             )
-        asg.unpersist()
-        if q - q_prev < min_q_gain:
-            nxt.unpersist()
-            break
-        q_prev = q
-        if cur is not graph:
-            cur.unpersist()
-        cur = nxt
-        if checkpointer is not None:
-            checkpointer.save_level(
-                algorithm="louvain_coarse", level=level + 1, assignments=None,
-                degrees=cur.degrees, coarse_edges=cur.edges, modularity=q,
+            # Coarsen first, then read the level's Q off the coarse graph's
+            # singleton partition (exactly equal, two scalar aggs instead of two
+            # full edge⋈assignment joins on the fine graph — see
+            # singleton_modularity).
+            nxt = coarsen(cur, asg)
+            q = singleton_modularity(nxt)
+            stats.modularity = q
+            level_stats.append(stats)
+            # Unwind: global community ids are the current level's vertex ids.
+            global_asg = swap(
+                global_asg,
+                global_asg.join(
+                    asg.select(
+                        F.col("id").alias("community"), F.col("community").alias("_new")
+                    ),
+                    "community",
+                ).select("id", F.col("_new").alias("community")),
             )
-        if cur.stats.num_vertices <= 1:
-            break
+            if checkpointer is not None:
+                checkpointer.save_level(
+                    algorithm="louvain", level=level, assignments=global_asg,
+                    degrees=cur.degrees, coarse_edges=None, modularity=q,
+                )
+            asg.unpersist()
+            if q - q_prev < min_q_gain:
+                nxt.unpersist()
+                break
+            q_prev = q
+            if cur is not graph:
+                cur.unpersist()
+            cur = nxt
+            # Coarse graphs shrink by orders of magnitude per level; keeping the
+            # fine graph's partition count schedules p_orig near-empty tasks per
+            # exchange per superstep (pure scheduling floor — at 100 TB the fine
+            # level runs thousands of partitions that a 400-supernode coarse
+            # level must not inherit). Rebuild the edge cache at a row-
+            # proportional partition count and scope the session shuffle
+            # partitions down with it; labels are partition-invariant (pinned by
+            # the cross-parallelism determinism suite), and the conf is restored
+            # after the loop.
+            p_want = max(
+                4, min(p_orig, -(-cur.stats.num_directed_edges // 32768))
+            )
+            if p_want < int(spark.conf.get("spark.sql.shuffle.partitions")):
+                old_edges = cur.edges
+                cur = LinkGraph.from_edges(
+                    cur.edges, num_partitions=p_want, pre_symmetrized=True
+                )
+                old_edges.unpersist()
+                spark.conf.set("spark.sql.shuffle.partitions", p_want)
+            if checkpointer is not None:
+                checkpointer.save_level(
+                    algorithm="louvain_coarse", level=level + 1, assignments=None,
+                    degrees=cur.degrees, coarse_edges=cur.edges, modularity=q,
+                )
+            if cur.stats.num_vertices <= 1:
+                break
+    finally:
+        # the coarse-level shrink scopes this down; always restore
+        spark.conf.set("spark.sql.shuffle.partitions", p_orig)
     n_comm = global_asg.select("community").distinct().count()
     return LouvainResult(
         assignments=global_asg, modularity=q, levels=level_stats, num_communities=n_comm
