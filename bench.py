@@ -105,6 +105,8 @@ def main() -> None:
         "connected_components",
         "label_propagation",
         "triangles_per_vertex",
+        "clustering_coeff",
+        "kcore",
         "dedup_exact",
         "ngram_jaccard_dups",
         "minhash_lsh_dups",
