@@ -337,6 +337,17 @@ def q_pagerank(spark, sf):
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_personalized_pagerank(spark, sf):
+    """Personalized PageRank (random walk with restart) from the nation-0
+    supplier seed set, fixed 10 iterations (chained-CTE SQL twin)."""
+    g = _graph(spark, sf)
+    seeds = _read(spark, sf, "supplier").where("s_nationkey = 0").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    pr = pagerank(g, alpha=0.85, n_iter=10, seeds=seeds)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_connected_components(spark, sf):
     """Min-label connected components (oracle: recursive reachability closure)."""
     return components(_graph(spark, sf)).select("id", "component")
@@ -608,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "degree_assortativity": q_degree_assortativity,
         "kcore": q_kcore,
+        "personalized_pagerank": q_personalized_pagerank,
         "graph_counts": q_graph_counts,
         "degrees": q_degrees,
         "neighbor_communities": q_neighbor_communities,
@@ -663,6 +675,43 @@ def _pagerank_sql(iters: int = 10, alpha: float = 0.85) -> str:
          (1.0 - {alpha}) / (SELECT COUNT(*) FROM deg)
          + {alpha} * COALESCE(m.mass, 0.0) AS rank
   FROM deg d LEFT JOIN (
+    SELECT s.dst AS id, SUM(p.rank * s.weight / dg.degree) AS mass
+    FROM pr{i - 1} p JOIN sym s ON p.id = s.src JOIN deg dg ON dg.id = s.src
+    GROUP BY 1
+  ) m ON m.id = d.id
+)"""
+        )
+    return (
+        "WITH " + _EDGES_CTE.strip().rstrip() + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM pr{iters}"
+    )
+
+
+def _ppr_sql(iters: int = 10, alpha: float = 0.85) -> str:
+    """Fixed-iteration PERSONALIZED PageRank (nation-0 supplier seeds) as
+    chained CTEs — teleport mass (1−α)/|S| on seeds only (mirrors
+    pagerank(seeds=...)); walk starts uniform on the seed set."""
+    ctes = [
+        """seeds AS (
+  SELECT d.id FROM deg d JOIN supplier s ON s.s_suppkey = d.id
+  WHERE s.s_nationkey = 0
+)""",
+        """pr0 AS (
+  SELECT d.id,
+         CASE WHEN sd.id IS NOT NULL
+              THEN 1.0 / (SELECT COUNT(*) FROM seeds) ELSE 0.0 END AS rank
+  FROM deg d LEFT JOIN seeds sd ON sd.id = d.id
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT d.id,
+         CASE WHEN sd.id IS NOT NULL
+              THEN (1.0 - {alpha}) / (SELECT COUNT(*) FROM seeds)
+              ELSE 0.0 END
+         + {alpha} * COALESCE(m.mass, 0.0) AS rank
+  FROM deg d LEFT JOIN seeds sd ON sd.id = d.id LEFT JOIN (
     SELECT s.dst AS id, SUM(p.rank * s.weight / dg.degree) AS mass
     FROM pr{i - 1} p JOIN sym s ON p.id = s.src JOIN deg dg ON dg.id = s.src
     GROUP BY 1
@@ -1059,6 +1108,8 @@ FROM sym e JOIN nation ns ON e.src = ns.id JOIN nation nd ON e.dst = nd.id
 GROUP BY 1, 2"""
 
     sql["pagerank"] = _pagerank_sql(10, 0.85)
+
+    sql["personalized_pagerank"] = _ppr_sql(10, 0.85)
 
     sql["label_propagation"] = _lpa_sql(5)
 

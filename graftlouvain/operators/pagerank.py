@@ -29,6 +29,7 @@ def pagerank(
     max_iter: int = 100,
     n_iter: int | None = None,
     batch_iters: int = 1,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Returns [id, rank]. ``n_iter`` forces exactly that many iterations
     (no convergence test) — used by the fixed-iteration SQL oracle.
@@ -44,7 +45,13 @@ def pagerank(
     iteration per materialization because the L1 delta must be read between
     consecutive iterations — the delta rides the materialization as an
     Observation over a carried |new − old| column instead of a separate
-    old⋈new join + aggregate job per iteration."""
+    old⋈new join + aggregate job per iteration.
+
+    ``seeds`` ([id]) switches to PERSONALIZED PageRank (Haveliwala 2002 /
+    the random-walk-with-restart form): the teleport mass (1−α) is split
+    uniformly over the seed set instead of all vertices, and the walk starts
+    there — rank(v) measures proximity to the seeds. Same plan per
+    iteration plus one broadcast-sized seed join in the reset term."""
     V = graph.stats.num_vertices
     if V == 0:
         return graph.vertices.select("id", F.lit(0.0).alias("rank"))
@@ -60,6 +67,34 @@ def pagerank(
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share"))
         .cache()
     )
+    if seeds is not None:
+        # seeds outside the graph carry no walk mass — intersect first so the
+        # teleport normalizer matches the effective seed set
+        seed_set = F.broadcast(
+            seeds.select(F.col(seeds.columns[0]).alias("id"))
+            .distinct()
+            .join(graph.vertices, "id", "left_semi")
+        )
+        n_seeds = seed_set.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank requires a non-empty seed set")
+        # reset vector: (1−α)/|S| on seeds, 0 elsewhere; initial distribution
+        # likewise uniform on seeds
+        reset = graph.vertices.join(
+            seed_set.withColumn("_s", F.lit(1)), "id", "left"
+        ).select(
+            "id",
+            F.when(F.col("_s").isNotNull(), F.lit((1.0 - alpha) / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("reset"),
+        )
+        init_rank = F.when(F.col("reset") > 0, F.lit(1.0 / n_seeds)).otherwise(
+            F.lit(0.0)
+        )
+        start = reset.select("id", init_rank.alias("rank"))
+    else:
+        reset = None
+        start = graph.vertices.select("id", F.lit(1.0 / V).alias("rank"))
     base = (1.0 - alpha) / V
 
     def one_iter(ranks_df: DataFrame) -> DataFrame:
@@ -68,13 +103,20 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
         )
+        if reset is not None:
+            return reset.join(contrib, "id", "left").select(
+                "id",
+                (
+                    F.col("reset") + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
         return graph.vertices.join(contrib, "id", "left").select(
             "id",
             (F.lit(base) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias("rank"),
         )
 
     with superstep_planning(graph.edges.sparkSession):
-        ranks = materialize(graph.vertices.select("id", F.lit(1.0 / V).alias("rank")))
+        ranks = materialize(start)
         if n_iter is not None:
             done = 0
             while done < n_iter:

@@ -35,6 +35,44 @@ def test_pagerank_matches_oracle(spark, edges):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_personalized_pagerank_matches_python(spark):
+    """PPR (random walk with restart, seed-restricted teleport) vs a direct
+    Python power iteration on karate; seeds outside the graph are ignored in
+    the normalizer."""
+    edges = FIXTURE_KARATE_W
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    seeds = [0, 33, 999]  # 999 is not a vertex — must not affect mass
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(g, alpha=0.85, n_iter=10, seeds=seed_df).collect()
+    }
+    # python twin
+    nbrs, w = {}, {}
+    for a, b, wt in edges:
+        w[(a, b)] = w.get((a, b), 0.0) + wt
+        if a != b:
+            w[(b, a)] = w.get((b, a), 0.0) + wt
+    out_w = {}
+    for (a, _b), wt in w.items():
+        out_w[a] = out_w.get(a, 0.0) + wt
+    vs = set(out_w)
+    s_eff = [s for s in seeds if s in vs]
+    rank = {v: (1.0 / len(s_eff) if v in s_eff else 0.0) for v in vs}
+    for _ in range(10):
+        mass = {v: 0.0 for v in vs}
+        for (a, b), wt in w.items():
+            mass[b] += rank[a] * wt / out_w[a]
+        rank = {
+            v: (0.15 / len(s_eff) if v in s_eff else 0.0) + 0.85 * mass[v]
+            for v in vs
+        }
+    assert set(got) == vs
+    for v in vs:
+        assert got[v] == pytest.approx(rank[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
 def test_pagerank_batched_iters_identical(spark):
     """Composing k power iterations per materialization (fixed-iteration
     path) is pure lineage batching — ranks match the unbatched loop to
