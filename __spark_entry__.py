@@ -468,6 +468,29 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def q_corpus_select(spark, sf):
+    """End-to-end training-corpus selection — the composite a real pipeline
+    materializes as its final output: keep documents that (1) pass the
+    quality gate (score ≥ 0.75), (2) are classified English, (3) are not
+    exact duplicates, and (4) are not the greater side of any near-dup pair
+    (greedy keep-first at MinHash-LSH J ≥ 0.5 — the scale path; the oracle
+    uses the exact pair SQL, so the hash gate again doubles as an LSH recall
+    check)."""
+    docs = _read(spark, sf, "documents")
+    q = quality_scores(docs).where(F.col("quality") >= 0.75).select("doc_id")
+    lg = lang_id(docs).where(F.col("pred_lang") == "en").select("doc_id")
+    exdup = exact_dedup(docs).where(F.col("is_duplicate")).select("doc_id")
+    pairs = minhash_lsh_pairs(docs, n=8, num_hashes=64, bands=16, threshold=0.5)
+    near_losers = pairs.select(F.greatest("a", "b").alias("doc_id")).distinct()
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(q, "doc_id", "left_semi")
+        .join(lg, "doc_id", "left_semi")
+        .join(exdup, "doc_id", "left_anti")
+        .join(near_losers, "doc_id", "left_anti")
+    )
+
+
 def q_lang_id(spark, sf):
     return lang_id(_read(spark, sf, "documents")).select("doc_id", "pred_lang", "hits")
 
@@ -620,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "kcore": q_kcore,
         "personalized_pagerank": q_personalized_pagerank,
+        "corpus_select": q_corpus_select,
         "graph_counts": q_graph_counts,
         "degrees": q_degrees,
         "neighbor_communities": q_neighbor_communities,
@@ -1344,6 +1368,71 @@ SELECT doc_id, n_chars, n_words,
         + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END
         + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality
 FROM ratios"""
+
+    sql["corpus_select"] = f"""WITH {_NGRAM_DOCS_CTE.strip()},
+inter AS (
+  SELECT ra.doc_id AS a, rb.doc_id AS b, COUNT(*) AS i
+  FROM rare ra JOIN rare rb ON ra.gram = rb.gram AND ra.doc_id < rb.doc_id
+  GROUP BY 1, 2
+),
+near_losers AS (
+  SELECT DISTINCT i.b AS doc_id
+  FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+  WHERE CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i) >= 0.5
+),
+feat AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS n_words,
+         LENGTH(regexp_extract_all(text, '[A-Za-z]')) AS n_letters,
+         LENGTH(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         LENGTH(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|that)\\b'))
+           AS n_stop
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_chars, n_words,
+         CASE WHEN n_words > 0 THEN CAST(n_letters AS DOUBLE) / n_words
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words
+              ELSE 0.0 END AS stopword_ratio
+  FROM feat
+),
+qual AS (
+  SELECT doc_id FROM ratios
+  WHERE (CASE WHEN n_chars >= 50 THEN 0.25 ELSE 0.0 END
+         + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END
+         + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END
+         + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END) >= 0.75
+),
+lhits AS (
+  SELECT doc_id,
+         LENGTH(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|that)\\b')) AS h_en,
+         LENGTH(regexp_extract_all(text, '(?i)\\b(der|die|und|das|nicht|ist)\\b')) AS h_de,
+         LENGTH(regexp_extract_all(text, '(?i)\\b(el|los|que|es|una|por)\\b')) AS h_es,
+         LENGTH(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|une)\\b')) AS h_fr
+  FROM documents
+),
+engl AS (
+  SELECT doc_id FROM lhits
+  WHERE CASE WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+             WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+             WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+             WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr) THEN 'fr' END = 'en'
+),
+hashed AS (SELECT doc_id, SHA256(text) AS content_sha FROM documents),
+canon AS (SELECT content_sha, MIN(doc_id) AS canonical_id FROM hashed GROUP BY 1),
+exdups AS (
+  SELECT h.doc_id FROM hashed h JOIN canon c ON h.content_sha = c.content_sha
+  WHERE h.doc_id != c.canonical_id
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+JOIN qual USING (doc_id)
+JOIN engl USING (doc_id)
+WHERE NOT EXISTS (SELECT 1 FROM exdups x WHERE x.doc_id = d.doc_id)
+  AND NOT EXISTS (SELECT 1 FROM near_losers n WHERE n.doc_id = d.doc_id)"""
 
     sql["doc_fingerprint"] = r"""
 SELECT doc_id,
