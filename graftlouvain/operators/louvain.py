@@ -109,6 +109,10 @@ def singleton_modularity(graph: LinkGraph, reference_convention: bool = False) -
 # the superstep's edge⋈assignment join (AQE — and hence its skew-join
 # splitting — is deliberately off inside superstep loops, see
 # functions.iterate.superstep_planning, so hub mitigation must be static).
+# Coarse levels rebuild their edge cache at ~this many rows per partition
+# (and scope spark.sql.shuffle.partitions down to match); see louvain().
+COARSE_SHRINK_TARGET_ROWS = 32_768
+
 SKEW_SALT_MIN_DEGREE = 100_000
 SKEW_SALT_RATIO = 32.0
 SKEW_SALT_BUCKETS = 16
@@ -879,7 +883,11 @@ def louvain(
             # the cross-parallelism determinism suite), and the conf is restored
             # after the loop.
             p_want = max(
-                4, min(p_orig, -(-cur.stats.num_directed_edges // 32768))
+                4,
+                min(
+                    p_orig,
+                    -(-cur.stats.num_directed_edges // COARSE_SHRINK_TARGET_ROWS),
+                ),
             )
             if p_want < int(spark.conf.get("spark.sql.shuffle.partitions")):
                 old_edges = cur.edges
