@@ -619,6 +619,20 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_events_topk(spark, sf):
+    """Per-hour top-3 event types by count (ties → alphabetically first) —
+    batch twin of the streaming leaderboard (streaming/events.py::
+    hourly_topk_stream + topk_of; stream parity in tests)."""
+    from graftlouvain.streaming.events import topk_of
+
+    ev = _read(spark, sf, "events")
+    rollup = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return topk_of(rollup, k=3)
+
+
 def q_events_sessionize(spark, sf):
     """Gap-based sessionization (30-min): per-user session and event counts."""
     from pyspark.sql import Window
@@ -644,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "personalized_pagerank": q_personalized_pagerank,
         "corpus_select": q_corpus_select,
+        "events_topk": q_events_topk,
         "graph_counts": q_graph_counts,
         "degrees": q_degrees,
         "neighbor_communities": q_neighbor_communities,
@@ -1482,6 +1497,20 @@ ranked AS (
 SELECT content_sha, doc_id AS first_doc_id,
        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS first_epoch
 FROM ranked WHERE rn = 1"""
+
+    sql["events_topk"] = """
+WITH rollup AS (
+  SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT hour_epoch, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY hour_epoch
+                            ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM rollup
+)
+SELECT hour_epoch, event_type, n_events, rank FROM ranked WHERE rank <= 3"""
 
     sql["events_hourly"] = """
 SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,

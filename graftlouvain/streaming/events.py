@@ -57,6 +57,36 @@ def hourly_rollup_stream(
     )
 
 
+def hourly_topk_stream(
+    spark: SparkSession, events_dir: str, k: int = 3,
+    watermark: str = "1 hour", glob: str | None = None,
+) -> DataFrame:
+    """Per-hour top-k event types by event count (ties → alphabetically
+    first type). Ranking over a streaming aggregate requires a second
+    stateful stage, which append mode cannot express — so the rollup streams
+    (watermarked) and the rank is applied by the SINK query over the
+    complete-mode result table (:func:`run_to_completion` + :func:`topk_of`),
+    the standard pattern for continuously-maintained leaderboards. The batch
+    twin ``q_events_topk`` computes the identical frame and carries the
+    DuckDB oracle."""
+    return hourly_rollup_stream(spark, events_dir, watermark=watermark, glob=glob)
+
+
+def topk_of(rollup: DataFrame, k: int = 3) -> DataFrame:
+    """[hour_epoch, event_type, n_events, rank ≤ k] from an hourly rollup
+    frame — shared by the batch twin and the streaming sink query."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hour_epoch").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        rollup.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("hour_epoch", "event_type", "n_events", "rank")
+    )
+
+
 def run_to_completion(result: DataFrame, query_name: str = "rollup") -> DataFrame:
     """Drive the streaming frame over all currently-available input via a
     memory sink (complete mode) and return the final table — the synchronous

@@ -73,6 +73,26 @@ def test_stateful_sessionization(spark):
         assert closed.get(u, 0) == t - 1
 
 
+def test_stream_topk_matches_batch(spark):
+    """Streaming leaderboard: rank applied over the complete-mode rollup
+    equals the batch twin exactly (hour, type, count, rank)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as em
+    from graftlouvain.streaming.events import (
+        hourly_topk_stream,
+        run_to_completion,
+        topk_of,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rollup = hourly_topk_stream(spark, sf, glob="events.parquet")
+    final = run_to_completion(rollup, query_name="topk_stream_test")
+    got = sorted(tuple(r) for r in topk_of(final, k=3).collect())
+    want = sorted(tuple(r) for r in em.q_events_topk(spark, sf).collect())
+    assert got == want and len(got) > 0
+
+
 def test_stream_dedup_matches_batch(spark):
     """Streaming first-occurrence dedup keeps exactly the batch operator's
     distinct content hashes (one row per hash)."""
