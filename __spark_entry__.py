@@ -248,6 +248,34 @@ def q_kcore(spark, sf):
     return kcore(_part_graph(spark, sf), KCORE_K, rounds=KCORE_ROUNDS)
 
 
+def q_ingest_imports(spark, sf):
+    """The pandas-UDF ingest path on the oracle surface: ``import_edges``
+    (Arrow-vectorized regex extraction over content, stem resolution against
+    the file table, S3). Corpus synthesized deterministically from
+    ``documents``: each file ``doc_<i>`` starts with ``import doc_<(i*7)%N>;``
+    so extraction, stem matching, and the dense-id join all do real work.
+    The UDF runs Python ``re`` while the oracle runs RE2 — equivalent on
+    this content by construction (ASCII words, explicit [ \t] spacing);
+    the engines' \s-class divergence is pinned separately (textstats)."""
+    from graftlouvain.sources.edges import file_table, import_edges
+
+    docs = _read(spark, sf, "documents")
+    n = docs.count()
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.concat(
+            F.lit("import doc_"),
+            ((F.col("doc_id") * 7) % F.lit(n)).cast("string"),
+            F.lit(";\n"),
+            F.col("text"),
+        ).alias("content"),
+    )
+    return import_edges(file_table(corpus)).select("src", "dst", "weight")
+
+
 def q_graph_counts(spark, sf):
     """G1/G7/A6: global vertex count, directed edge count, total weight (2m)."""
     g = _graph(spark, sf)
@@ -652,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_build": q_edges_build,
         "ingest_file_sha": q_ingest_file_sha,
         "ingest_cochange": q_ingest_cochange,
+        "ingest_imports": q_ingest_imports,
         "clustering_coeff": q_clustering_coeff,
         "neighbor_jaccard": q_neighbor_jaccard,
         "degree_assortativity": q_degree_assortativity,
@@ -1051,6 +1080,43 @@ alive12 AS MATERIALIZED (
   GROUP BY e.src HAVING COUNT(*) >= 3
 )
 SELECT id FROM alive12"""
+
+    sql["ingest_imports"] = """
+WITH corpus AS (
+  SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+         'import doc_' || CAST((doc_id * 7) % (SELECT COUNT(*) FROM documents)
+                               AS VARCHAR) || ';' || CHR(10) || text AS content
+  FROM documents
+),
+ids AS (
+  SELECT repo, path,
+         CAST(ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS BIGINT) AS id
+  FROM (SELECT DISTINCT repo, path FROM corpus)
+),
+stems AS (
+  SELECT regexp_replace(path, '\.\w+$', '') AS stem, id AS dst FROM ids
+),
+imports AS (
+  SELECT i.id AS src, u.m AS raw
+  FROM corpus c
+  JOIN ids i ON i.repo = c.repo AND i.path = c.path,
+  LATERAL (
+    SELECT UNNEST(regexp_extract_all(c.content,
+      '(?m)^(?:import|use)[ \t]+"?([\w./:-]+)"?;?[ \t]*$', 1)) AS m
+  ) u
+),
+resolved AS (
+  SELECT src,
+         list_extract(string_split(
+           list_extract(string_split(
+             list_extract(string_split(rtrim(raw, ';'), '/'), -1), '.'), -1),
+           '::'), -1) AS stem
+  FROM imports
+)
+SELECT r.src, s.dst, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM resolved r JOIN stems s ON s.stem = r.stem
+WHERE r.src != s.dst
+GROUP BY 1, 2"""
 
     sql["ingest_cochange"] = """
 WITH k AS (
