@@ -355,8 +355,42 @@ def q_coarsen_nation(spark, sf):
 
 
 def q_louvain_communities(spark, sf):
-    """Full multi-level Louvain labels (iterative — rows-only check)."""
+    """Full multi-level Louvain labels (iterative — rows-only check; the
+    gated-superstep dataflow itself is hash-oracled by
+    ``louvain_supersteps_fixed`` below, and full-run labels are exact-pinned
+    against the in-repo sequential oracle in pytest)."""
     return louvain(_graph(spark, sf)).assignments.select("id", "community")
+
+
+LOUVAIN_FIXED_STEPS = 2
+
+
+def q_louvain_supersteps_fixed(spark, sf):
+    """The flagship move/gate/tie-break dataflow on the DuckDB oracle surface:
+    a fixed 2-superstep unroll of the REAL engine superstep (``_superstep`` —
+    the same ``_best_moves_fast`` plan the ``louvain()`` loop runs, including
+    the analytic stay-score, the max_by (score, −community) tie-break, and
+    the even/odd oscillation gate) from nation init on the supplier graph.
+    Cross-engine hash equality is exact because every score is one IEEE
+    division away from integer arithmetic: weights and degrees are
+    integer-valued doubles, so k_ic / tot sums are exact, (tot − δ·k_i)·k_i
+    is exact below 2^53, and the single ``/S`` rounds identically in both
+    engines (reference anchor: reconstructed move semantics of
+    communities.rs:68-83 + communitystate.rs:96-132)."""
+    from graftlouvain.functions.iterate import materialize, superstep_planning
+    from graftlouvain.operators.louvain import _superstep
+
+    g = _graph(spark, sf)
+    asg = _nation_assignments(spark, sf, g).join(
+        g.degrees.select("id", F.col("degree").alias("k_i")), "id"
+    )
+    with superstep_planning(spark):
+        st = materialize(asg)
+        for step in range(LOUVAIN_FIXED_STEPS):
+            st = materialize(
+                _superstep(g, st, step, 1e-12).select("id", "community", "k_i")
+            )
+    return st.select("id", "community")
 
 
 def q_pagerank(spark, sf):
@@ -453,6 +487,30 @@ def q_ivf_topk(spark, sf):
     emb = _read(spark, sf, "embeddings")
     return ivf_topk(
         emb.where("vec_id < 10"), emb, k=5, n_centroids=32, n_probe=8
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
+LSH_TOPK_BITS = 6
+LSH_TOPK_TABLES = 4
+
+
+def q_lsh_topk(spark, sf):
+    """RH-LSH ANN top-5 for query vectors vec_id < 10: random-hyperplane
+    bucketing across 4 independent tables (64 buckets each), exact cosine
+    re-rank of bucket-colliding candidates. The hyperplanes are deterministic
+    data (similarity._planes, seeded Box-Muller), so the DuckDB twin embeds
+    the identical planes as a VALUES relation and reproduces bucket
+    assignment bit for bit (sign-of-dot agrees across engines because both
+    fold the product array in index order; a flip would need |dot| within
+    double rounding of 0). Candidate sets — and hence the approximate result,
+    recall < 1 by construction — are therefore identical both sides; recall
+    vs brute force is pinned separately in pytest."""
+    from graftlouvain.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf, "embeddings")
+    return lsh_topk(
+        emb.where("vec_id < 10"), emb, dim=64, k=5,
+        n_bits=LSH_TOPK_BITS, n_tables=LSH_TOPK_TABLES, seed=42,
     ).select("query_id", "vec_id", "cosine", "rank")
 
 
@@ -696,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_gain_argmax": q_louvain_gain_argmax,
         "coarsen_nation": q_coarsen_nation,
         "louvain_communities": q_louvain_communities,
+        "louvain_supersteps_fixed": q_louvain_supersteps_fixed,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
@@ -709,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -834,6 +894,121 @@ def _lpa_sql(iters: int = 5) -> str:
         "WITH " + _EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
         + f"\nSELECT id, label FROM lp{iters}"
     )
+
+
+def _louvain_fixed_sql(n_steps: int = 2) -> str:
+    """DuckDB twin of ``q_louvain_supersteps_fixed``: the engine's gated
+    superstep CTE chain (a dialect port of operators/louvain._superstep_cte —
+    max_by over a (score, −community) struct becomes a ROW_NUMBER rank with
+    the identical tie order), unrolled ``n_steps`` times from nation init.
+    The stay score is the analytic form the fast path computes
+    (stay_kic − (tot_cur − k_i)·k_i/S with stay_kic = the own-community
+    candidate's k_ic, 0 when absent); the move gate is
+    strict-improvement + the even/odd direction oscillation breaker."""
+    S = "(SELECT s FROM s2m)"
+    ctes = [
+        """st0 AS MATERIALIZED (
+  SELECT n.id, n.community, d.degree AS k_i
+  FROM nation n JOIN deg d ON d.id = n.id
+)"""
+    ]
+    for i in range(n_steps):
+        d = "b.nbr_comm < b.cur_comm" if i % 2 == 0 else "b.nbr_comm > b.cur_comm"
+        o = i + 1
+        ctes.append(f"""nbr{i} AS (
+  SELECT e.src AS src, s.community AS nbr_comm,
+         CASE WHEN e.src != e.dst THEN e.weight
+              ELSE CAST(0.0 AS DOUBLE) END AS k_ic
+  FROM sym e JOIN st{i} s ON e.dst = s.id
+),
+cand{i} AS (SELECT src, nbr_comm, SUM(k_ic) AS k_ic FROM nbr{i} GROUP BY 1, 2),
+tot{i} AS (SELECT community AS nbr_comm, SUM(k_i) AS tot FROM st{i} GROUP BY 1),
+scored{i} AS (
+  SELECT c.src, c.nbr_comm, c.k_ic, cu.community AS cur_comm, cu.k_i,
+         c.k_ic - (t.tot - CASE WHEN c.nbr_comm = cu.community THEN cu.k_i
+                                ELSE CAST(0.0 AS DOUBLE) END)
+                  * cu.k_i / {S} AS score
+  FROM cand{i} c
+  JOIN tot{i} t ON c.nbr_comm = t.nbr_comm
+  JOIN st{i} cu ON c.src = cu.id
+),
+best{i} AS (
+  SELECT src, nbr_comm, score, cur_comm, k_i, stay_kic FROM (
+    SELECT src, nbr_comm, score, cur_comm, k_i,
+           COALESCE(MAX(CASE WHEN nbr_comm = cur_comm THEN k_ic END)
+                    OVER (PARTITION BY src), CAST(0.0 AS DOUBLE)) AS stay_kic,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY score DESC, nbr_comm ASC) AS rn
+    FROM scored{i}
+  ) r WHERE rn = 1
+),
+st{o} AS MATERIALIZED (
+  SELECT b.src AS id,
+         CAST(CASE WHEN b.nbr_comm != b.cur_comm
+                    AND b.score >
+                        b.stay_kic - (t2.tot - b.k_i) * b.k_i / {S} + 1e-12
+                    AND {d}
+              THEN b.nbr_comm ELSE b.cur_comm END AS BIGINT) AS community,
+         b.k_i
+  FROM best{i} b JOIN tot{i} t2 ON b.cur_comm = t2.nbr_comm
+)""")
+    return (
+        "WITH " + _EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, community FROM st{n_steps}"
+    )
+
+
+def _lsh_topk_sql(
+    k: int = 5, n_bits: int = 6, n_tables: int = 4, seed: int = 42, dim: int = 64
+) -> str:
+    """DuckDB twin of ``q_lsh_topk``: the deterministic hyperplanes embedded
+    as a VALUES relation (repr() doubles round-trip bit-exactly), bucket =
+    Σ [v·plane_i > 0]·2^i per (vector, table), candidates = bucket collisions,
+    exact cosine re-rank rounded 6dp — the same rounding policy as the Spark
+    operator, so rank ties cannot flip cross-engine."""
+    from graftlouvain.operators.similarity import _planes
+
+    planes = _planes(dim, n_bits, n_tables, seed)
+    rows = ",\n  ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in plane)}])"
+        for t, table in enumerate(planes)
+        for b, plane in enumerate(table)
+    )
+    return f"""
+WITH qd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+planes(tbl, bit, plane) AS (VALUES
+  {rows}
+),
+buck AS (
+  SELECT d.vec_id, p.tbl,
+         CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(d.v, p.plane),
+                                                    z -> z[1] * z[2])) > 0
+                       THEN 1 << p.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM qd d CROSS JOIN planes p
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+  FROM buck qb JOIN buck cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < 10 AND qb.vec_id != cb.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(list_sum(list_transform(list_zip(q.v, d.v), z -> z[1] * z[2]))
+               / (SQRT(list_sum(list_transform(q.v, x -> x * x)))
+                  * SQRT(list_sum(list_transform(d.v, x -> x * x)))), 6) AS cosine
+  FROM cands c
+  JOIN qd q ON q.vec_id = c.query_id
+  JOIN qd d ON d.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
 _MD5_PAIR = """
@@ -1211,6 +1386,12 @@ FROM ranked WHERE rn = 1"""
 SELECT ns.community AS c_src, nd.community AS c_dst, SUM(e.weight) AS weight
 FROM sym e JOIN nation ns ON e.src = ns.id JOIN nation nd ON e.dst = nd.id
 GROUP BY 1, 2"""
+
+    sql["louvain_supersteps_fixed"] = _louvain_fixed_sql(LOUVAIN_FIXED_STEPS)
+
+    sql["lsh_topk"] = _lsh_topk_sql(
+        k=5, n_bits=LSH_TOPK_BITS, n_tables=LSH_TOPK_TABLES, seed=42, dim=64
+    )
 
     sql["pagerank"] = _pagerank_sql(10, 0.85)
 
