@@ -249,7 +249,7 @@ def q_kcore(spark, sf):
 
 
 def q_ingest_imports(spark, sf):
-    """The pandas-UDF ingest path on the oracle surface: ``import_edges``
+    r"""The pandas-UDF ingest path on the oracle surface: ``import_edges``
     (Arrow-vectorized regex extraction over content, stem resolution against
     the file table, S3). Corpus synthesized deterministically from
     ``documents``: each file ``doc_<i>`` starts with ``import doc_<(i*7)%N>;``
@@ -1256,7 +1256,7 @@ alive12 AS MATERIALIZED (
 )
 SELECT id FROM alive12"""
 
-    sql["ingest_imports"] = """
+    sql["ingest_imports"] = r"""
 WITH corpus AS (
   SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
          'import doc_' || CAST((doc_id * 7) % (SELECT COUNT(*) FROM documents)

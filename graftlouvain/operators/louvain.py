@@ -253,16 +253,24 @@ def _community_totals(state: DataFrame) -> DataFrame:
 
 
 # Hoisted Column-expression cache for the superstep builder, keyed by
-# (S, gain_eps) — one entry per louvain run (S = 2m is preserved exactly under
-# coarsening, so every level shares it). Column objects are immutable
-# expression trees; building them costs ~60 py4j round trips per superstep
-# (~0.2 s of pure driver time, measured at sf0.1: build 0.29 s -> 0.09 s
-# after hoisting), while REUSING them across DataFrames is free and standard.
+# (applicationId, S, gain_eps) — one entry per louvain run (S = 2m is
+# preserved exactly under coarsening, so every level shares it). Column
+# objects are immutable expression trees; building them costs ~60 py4j round
+# trips per superstep (~0.2 s of pure driver time, measured at sf0.1: build
+# 0.29 s -> 0.09 s after hoisting), while REUSING them across DataFrames is
+# free and standard. The applicationId in the key scopes entries to the
+# LIVE SparkContext: Column handles point into the JVM gateway, so a process
+# that stops and restarts Spark must never reuse Columns built against the
+# dead one (one extra py4j property read per call — noise vs the ~60 saved).
 _SS_EXPRS: dict = {}
 
 
 def _superstep_exprs(S: float, gain_eps: float) -> dict:
-    key = (S, gain_eps)
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    app = sess.sparkContext.applicationId if sess is not None else None
+    key = (app, S, gain_eps)
     got = _SS_EXPRS.get(key)
     if got is not None:
         return got
@@ -789,6 +797,13 @@ def louvain(
     the resume passes the same ``min_moves_frac`` as the original run (the
     streak depends on the slack). ``LevelStats`` for levels completed before
     the crash are not replayed.
+
+    Concurrency hazard: the coarse-level shrink scopes the SESSION-GLOBAL
+    ``spark.sql.shuffle.partitions`` down while coarse levels run (restored in
+    a ``finally``), because the loop's shuffles inherit it implicitly — so a
+    CONCURRENT query on the same SparkSession silently runs at the shrunk
+    parallelism until the run ends. Run louvain() on a dedicated session (the
+    normal deployment shape: one driver, one job) or accept the interleaving.
     """
     global_asg = singleton_assignments(graph)
     cur = graph
@@ -904,11 +919,15 @@ def louvain(
                 ),
             )
             if p_want < int(spark.conf.get("spark.sql.shuffle.partitions")):
-                old_edges = cur.edges
+                old = cur
                 cur = LinkGraph.from_edges(
-                    cur.edges, num_partitions=p_want, pre_symmetrized=True
+                    old.edges, num_partitions=p_want, pre_symmetrized=True
                 )
-                old_edges.unpersist()
+                # from_edges has materialized the new edge+degree caches (its
+                # stats pass), so the replaced graph's BOTH caches can go —
+                # unpersisting only old.edges leaked one V-row degrees cache
+                # per shrunk level in long multi-level runs (r3 advice).
+                old.unpersist()
                 spark.conf.set("spark.sql.shuffle.partitions", p_want)
             if checkpointer is not None:
                 checkpointer.save_level(

@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Manifest record format. v2 renamed write_wall_ms -> persist_wall_ms (the
+# timer spans materialization + lineage + file write, not just the write);
+# records carry manifest_version so cross-round consumers aggregating timing
+# fields can dispatch on it instead of seeing silent gaps. v1 records (no
+# version field) predate the rename.
+MANIFEST_VERSION = 2
+
+
 class CheckpointManager:
     def __init__(self, base_dir: str, table_format: str = "parquet"):
         self.base_dir = base_dir
@@ -76,6 +84,7 @@ class CheckpointManager:
         path, lineage, write_ms = self._write(assignments, rel)
         self._append_manifest(
             {
+                "manifest_version": MANIFEST_VERSION,
                 "kind": "superstep",
                 "algorithm": algorithm,
                 "level": level,
@@ -99,6 +108,7 @@ class CheckpointManager:
         modularity: float | None,
     ) -> None:
         record = {
+            "manifest_version": MANIFEST_VERSION,
             "kind": "level",
             "algorithm": algorithm,
             "level": level,

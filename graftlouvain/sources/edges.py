@@ -30,11 +30,15 @@ from graftlouvain.operators.graph import dense_ids
 
 
 def file_table(corpus: DataFrame) -> DataFrame:
-    """Distinct files with dense ids and content hash of their latest content.
+    """Distinct files with dense ids and the hash of one CANONICAL content
+    version per file: the lexicographically-max content string (``F.max``) —
+    a deterministic, order-independent pick, NOT commit-recency (the corpus
+    schema's ``commit`` column is an opaque id with no ordering to key on;
+    corpus rows repeat (repo,path) once per touching commit).
 
-    Output: [repo, path, id, lang, content_sha] where content_sha =
-    sha256 of the lexicographically-max content version (deterministic pick —
-    corpus rows repeat (repo,path) once per touching commit)."""
+    Output: [repo, path, id, lang, content_sha, content] with
+    content_sha = sha256(canonical content) — the per-row invariant of
+    BASELINE.json input_hint, hash-gated every round by ``ingest_file_sha``."""
     ids = dense_ids(corpus, ["repo", "path"])
     per_file = corpus.groupBy("repo", "path").agg(
         F.max("lang").alias("lang"), F.max("content").alias("content")

@@ -58,17 +58,18 @@ def hourly_rollup_stream(
 
 
 def hourly_topk_stream(
-    spark: SparkSession, events_dir: str, k: int = 3,
+    spark: SparkSession, events_dir: str,
     watermark: str = "1 hour", glob: str | None = None,
 ) -> DataFrame:
     """Per-hour top-k event types by event count (ties → alphabetically
     first type). Ranking over a streaming aggregate requires a second
     stateful stage, which append mode cannot express — so the rollup streams
     (watermarked) and the rank is applied by the SINK query over the
-    complete-mode result table (:func:`run_to_completion` + :func:`topk_of`),
-    the standard pattern for continuously-maintained leaderboards. The batch
-    twin ``q_events_topk`` computes the identical frame and carries the
-    DuckDB oracle."""
+    complete-mode result table (:func:`run_to_completion` + :func:`topk_of`,
+    which is where ``k`` is chosen — this function deliberately takes no
+    ``k``), the standard pattern for continuously-maintained leaderboards.
+    The batch twin ``q_events_topk`` computes the identical frame and
+    carries the DuckDB oracle."""
     return hourly_rollup_stream(spark, events_dir, watermark=watermark, glob=glob)
 
 
