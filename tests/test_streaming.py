@@ -73,6 +73,112 @@ def test_stateful_sessionization(spark):
         assert closed.get(u, 0) == t - 1
 
 
+def test_sessionize_buffered_out_of_order(spark, tmp_path):
+    """Watermark-buffered sessionization under SHUFFLED file arrival: slices
+    of the events table are fed in scrambled order (one micro-batch each,
+    mtime-controlled), with a watermark delay covering the full disorder.
+    After three flush probes advance the watermark past every real event,
+    the emitted sessions must equal the batch sessionizer's FULL per-user
+    session rows (start, end, count, sum) computed over the in-order data —
+    exactly, not just counts."""
+    import datetime as dt
+    import os
+    import random
+
+    from pyspark.sql import Window
+
+    from graftlouvain.streaming.sessions import sessionize_stream_buffered
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    hi = bounds["hi"]
+    span = int((hi - bounds["lo"]).total_seconds())
+    delay_s = span + 3600  # covers ANY shuffle of the slices
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def write_one(df, name, mtime):
+        outd = tmp_path / ("w_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(outd))
+        part = next(p for p in outd.iterdir() if p.name.endswith(".parquet"))
+        dst = feed / name
+        part.rename(dst)
+        os.utime(dst, (mtime, mtime))
+
+    w = Window.orderBy("ts", "event_id")
+    sliced = ev.withColumn("_slice", F.ntile(6).over(w))
+    order = list(range(1, 7))
+    random.Random(7).shuffle(order)  # deterministic scramble: [5,1,3,6,2,4]-ish
+    t0 = 1_700_000_000
+    for i, s in enumerate(order):
+        write_one(
+            sliced.where(F.col("_slice") == s).drop("_slice"),
+            f"slice_{i}.parquet", t0 + i * 10,
+        )
+    # three flush probes, each its own batch: the k-th advances the watermark
+    # computed DURING batch k+1, so probe 1 finalizes every real event and
+    # probe 2 finalizes probe 1 (closing each user's last real session)
+    users = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
+    fts = hi + dt.timedelta(seconds=delay_s + 1800 + 100)
+    for j in range(3):
+        rows = [
+            (10_000_000 + j * 100_000 + k, fts, u, "flush", 0.0, None)
+            for k, u in enumerate(users)
+        ]
+        write_one(
+            spark.createDataFrame(rows, ev.schema),
+            f"zflush_{j}.parquet", t0 + 1000 + j * 10,
+        )
+        fts = fts + dt.timedelta(seconds=delay_s + 100)
+
+    out = sessionize_stream_buffered(
+        spark, str(feed), delay=f"{delay_s} seconds", max_files_per_trigger=1
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_ooo")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, unix_timestamp(session_start) AS s, "
+            "unix_timestamp(session_end) AS e, n_events, "
+            "round(sum_value, 6) AS v FROM sess_ooo"
+        ).collect()
+    }
+
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+    sess = ev.withColumn(
+        "new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "sid", F.sum("new").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = {
+        tuple(r)
+        for r in sess.groupBy("user_id", "sid")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("s"),
+            F.unix_timestamp(F.max("ts")).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias("v"),
+        )
+        .select("user_id", "s", "e", "n", "v")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_topk_matches_batch(spark):
     """Streaming leaderboard: rank applied over the complete-mode rollup
     equals the batch twin exactly (hour, type, count, rank)."""
