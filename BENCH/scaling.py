@@ -101,6 +101,39 @@ def generate_direct(edges_target: int, n_blocks: int = 400, block_size: int = 50
     return out
 
 
+def generate_combined(n_repos: int = 64) -> Path:
+    """Edges from the FULL ingest path — ``combined_edges`` (co-change ∪
+    co-path ∪ imports, the engine's default link graph) over a generated
+    corpus — so one scaling point's input is produced by the exact
+    north-star pipeline (corpus scan → file_table with sha256 → three
+    extractors → weighted union) rather than the numpy planted-partition
+    shortcut. Scale note: the synthetic corpus reuses basenames across
+    repos (that is what gives co-path/import edges something to match), so
+    the cross-repo match fan-out grows with n_repos — 64 repos ≈ 1M
+    undirected edges keeps all three extractors busy without the degenerate
+    every-repo-matches blowup; the 10^7-edge parallelism stress stays on
+    the direct generator."""
+    out = DATA / f"combined_{n_repos}"
+    if (out / "_SUCCESS").exists():
+        return out
+    sys.path.insert(0, str(REPO))
+    from graftlouvain.session import get_spark
+    from graftlouvain.sources.corpus import generate_corpus
+    from graftlouvain.sources.edges import combined_edges, file_table
+
+    spark = get_spark(app_name="scaling-gen-combined", master="local[32]",
+                      shuffle_partitions=32)
+    corpus = generate_corpus(
+        spark, n_repos=n_repos, files_per_repo=100, commits_per_repo=400,
+        files_per_commit=8, p_cross=0.05, seed=42,
+    )
+    files = file_table(corpus).cache()
+    edges = combined_edges(corpus, files)
+    edges.write.mode("overwrite").parquet(str(out))
+    spark.stop()
+    return out
+
+
 def generate(edges_target: int) -> Path:
     """Deterministic seeded co-change graph at benchmark scale, written once."""
     out = DATA / f"edges_{edges_target}"
@@ -157,15 +190,23 @@ def main() -> None:
     ap.add_argument("--edges-target", type=int, default=300_000)
     ap.add_argument("--direct", action="store_true",
                     help="numpy planted-partition generator (for 10^7-edge scale)")
+    ap.add_argument("--combined", action="store_true",
+                    help="edges from the real ingest path: combined_edges "
+                         "(co-change ∪ co-path ∪ imports) over a generated corpus")
+    ap.add_argument("--n-repos", type=int, default=64,
+                    help="corpus size for --combined")
     ap.add_argument("--hash-labels", action="store_true",
                     help="also assert byte-identical labels across levels")
     ap.add_argument("--out", default="scaling.json")
     args = ap.parse_args()
     RESULTS.mkdir(parents=True, exist_ok=True)
 
-    edges_path = (
-        generate_direct(args.edges_target) if args.direct else generate(args.edges_target)
-    )
+    if args.combined:
+        edges_path = generate_combined(args.n_repos)
+    elif args.direct:
+        edges_path = generate_direct(args.edges_target)
+    else:
+        edges_path = generate(args.edges_target)
     r8 = run_level(8, edges_path, args.hash_labels)
     r32 = run_level(32, edges_path, args.hash_labels)
     # supersteps are identical at both parallelism levels (asserted below via

@@ -102,6 +102,22 @@ def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, threshold: float) ->
     )
 
 
+def _pairs_of_sorted(ids_col: "F.Column") -> "F.Column":
+    """All a<b pairs of an ASCENDING-sorted id array as array<struct<a,b>> —
+    pure JVM higher-order functions (no UDF, no join): element i pairs with
+    every later element (slice is 1-based, so the tail after index i starts
+    at position i+2; a length of size(ids) safely clamps to the end)."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + F.lit(2), F.size(ids_col)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -115,16 +131,24 @@ def ngram_jaccard_pairs(
     pair GENERATION (hot-bucket guard) but kept in the per-doc set sizes, so
     J is computed on the intersection restricted to rare grams over true union
     size — a conservative (recall-lowering, precision-keeping) approximation
-    applied identically in the SQL oracle."""
-    rare, sizes = _gram_tables(doc_ngrams(docs, id_col, text_col, n), max_doc_freq)
-    a = rare.select(F.col("doc_id").alias("a"), "gram")
-    b = rare.select(F.col("doc_id").alias("b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    applied identically in the SQL oracle.
+
+    Pair generation is ONE groupBy(gram).collect_list + a JVM pair explosion
+    (:func:`_pairs_of_sorted`) over the ≤``max_doc_freq``-sized groups —
+    the r3 formulation (df-count aggregation, rare semi-join, then a gram
+    self-join) shuffled the E-row gram table three more times for the
+    identical pair multiset; the df cap bounds every group's array and its
+    quadratic expansion. Output is row-identical (same per-gram pair
+    contributions, no floats involved), so the SQL oracle is unchanged."""
+    grams = doc_ngrams(docs, id_col, text_col, n)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    groups = grams.groupBy("gram").agg(F.collect_list("doc_id").alias("ids"))
+    pairs = (
+        groups.where((F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq))
+        .select(F.explode(_pairs_of_sorted(F.array_sort("ids"))).alias("p"))
+        .select("p.a", "p.b")
     )
+    inter = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
     return _jaccard_from_inter(inter, sizes, threshold)
 
 
