@@ -379,21 +379,33 @@ def _best_moves_fast(
         )
     cand = nbr.groupBy("src", "nbr_comm").agg(x["sum_kic"])
     tot = state.groupBy(x["tot_key"]).agg(x["tot_agg"])
+    # ACCEPTED DOUBLE EXECUTION (diagnosed negative result, r4): ``tot`` is
+    # referenced twice (candidate scoring + stay-score lookup) and the V-row
+    # state groupBy runs once per reference. Both dedup mechanisms are
+    # structurally defeated by Spark's canonicalization of checkpointed
+    # state: RDDScanExec keeps its stamped ``hashpartitioning(...)`` with
+    # UN-normalized expression ids, and DeduplicateRelations clones every
+    # repeated state reference with fresh ids — so (a) the two tot broadcast
+    # exchanges never canonicalize equal (ReuseExchange never fires;
+    # verified: canonicalized plans differ only in the partitioning exprId
+    # of the leaf scan) and (b) a lazy ``tot.cache()`` is never substituted
+    # into the composed plan (CacheManager matches by sameResult, which hits
+    # the same wall; verified: zero InMemoryTableScan for tot). Eager
+    # per-superstep materialization of tot would fix it at the price of one
+    # extra scheduled job per superstep — a measured net loss at driver-gate
+    # scale and ~1-2% of superstep cost at any scale (the E-row edge join
+    # dominates; tot is V-row with map-side partial aggregation), so the
+    # double execution is accepted and recorded in BENCH/BASELINE.md §7.
     cur = state.select(*x["cur"], *carry_cols)
     scored = cand.join(tot, "nbr_comm").join(cur, "src").select("*", x["score"])
     best = scored.groupBy("src").agg(
         *x["best_aggs"],
         *[F.max(c).alias(c) for c in carry_cols],  # constant within the group
     )
-    # Join the SAME ``tot`` plan (not a renamed projection) for the stay-score
-    # lookup: both broadcast sides then canonicalize to the identical
-    # HashedRelationBroadcastMode([nbr_comm]) over the identical aggregate, so
-    # ReuseExchange executes the V-row state groupBy ONCE per superstep and the
-    # second join reads the already-built broadcast (the r3 verdict's nit #1 —
-    # the old ``tot.select(rename)`` projection defeated canonicalization and
-    # Spark, inlining deterministic multi-referenced subplans, ran the groupBy
-    # twice). Values are unchanged — same expressions, same doubles — so labels
-    # stay byte-identical (pinned by the exact-label oracle fixtures).
+    # Stay-score lookup joins the SAME (possibly cached) ``tot`` relation —
+    # values unchanged vs the r3 renamed-projection form (same expressions,
+    # same doubles), so labels stay byte-identical (pinned by the exact-label
+    # oracle fixtures).
     return best.join(tot, best["cur_comm"] == tot["nbr_comm"]).select(
         "src", best["nbr_comm"], "score", "cur_comm", "k_i",
         x["stay_score_tot"], *carry_cols,

@@ -223,6 +223,45 @@ def test_sql_pair_matches_df_pair(spark):
             assert key(_superstep_pair_sql(g, state, step, 1e-12)) == key(s2)
 
 
+def test_superstep_tot_double_exec_diagnosis(spark):
+    """SENTINEL for the accepted double execution of the superstep's
+    community-totals aggregate (BENCH/BASELINE.md §7): ReuseExchange cannot
+    dedupe the two ``tot`` broadcasts because the checkpointed state's
+    RDDScanExec canonicalizes with UN-normalized partitioning expression ids
+    (DeduplicateRelations clones every repeated state reference with fresh
+    ids). This test pins that diagnosis: the two tot broadcast exchanges in
+    one superstep plan must currently canonicalize UNEQUAL while printing
+    textually identical trees. If a Spark upgrade makes this assertion fail,
+    canonicalization has been fixed and the broadcast CAN now be reused —
+    revisit _best_moves_fast and drop the accepted-double-execution note."""
+    from graftlouvain.functions.iterate import materialize, superstep_planning
+    from graftlouvain.operators.graph import LinkGraph
+    from graftlouvain.operators.louvain import _superstep
+    from pyspark.sql import functions as F
+
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_28_W))
+    asg = singleton_assignments(g).join(
+        g.degrees.select("id", F.col("degree").alias("k_i")), "id"
+    )
+    with superstep_planning(spark):
+        st = materialize(asg)
+        out = _superstep(g, st, 0, 1e-12)
+        sp = out._jdf.queryExecution().executedPlan()
+    tot_bx = []
+
+    def walk(node):
+        if "BroadcastExchange" in node.getClass().getSimpleName():
+            if "sum(k_i" in node.toString():
+                tot_bx.append(node)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(sp)
+    assert len(tot_bx) == 2  # both references compile to their own broadcast
+    a, b = tot_bx
+    assert not a.sameResult(b)  # the documented canonicalization gap
+
+
 def test_metrics_table(spark):
     g = LinkGraph.from_edges(to_df(spark, FIXTURE_W5))
     res = louvain(g)
