@@ -276,6 +276,25 @@ def q_ingest_imports(spark, sf):
     return import_edges(file_table(corpus)).select("src", "dst", "weight")
 
 
+WALK_LEN = 4
+WALKS_PER_VERTEX = 2
+
+
+def q_random_walks(spark, sf):
+    """Deterministic DeepWalk-style walk corpus over the part graph: 2 walks
+    of length 4 per vertex, next hop = seeded-md5 hash mod degree over the
+    dst-ordered neighbor index — a pure function of (graph, seed), replayed
+    move-for-move by the DuckDB twin (same md5 arithmetic, same index). The
+    graph→sequence operator that feeds embedding training (DeepWalk/node2vec);
+    operator: graftlouvain/operators/walks.py."""
+    from graftlouvain.operators.walks import random_walks
+
+    return random_walks(
+        _part_graph(spark, sf), length=WALK_LEN,
+        walks_per_vertex=WALKS_PER_VERTEX, seed=42,
+    ).select("walk_id", "step", "vertex")
+
+
 def q_graph_counts(spark, sf):
     """G1/G7/A6: global vertex count, directed edge count, total weight (2m)."""
     g = _graph(spark, sf)
@@ -743,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "degree_assortativity": q_degree_assortativity,
         "kcore": q_kcore,
+        "random_walks": q_random_walks,
         "personalized_pagerank": q_personalized_pagerank,
         "corpus_select": q_corpus_select,
         "events_topk": q_events_topk,
@@ -893,6 +913,43 @@ def _lpa_sql(iters: int = 5) -> str:
     return (
         "WITH " + _EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
         + f"\nSELECT id, label FROM lp{iters}"
+    )
+
+
+def _walks_sql(length: int = 4, wpv: int = 2, seed: int = 42) -> str:
+    """DuckDB twin of ``q_random_walks``: identical neighbor index
+    (row_number − 1 per src ordered by dst over the symmetrized part-graph
+    edges) and identical seeded-md5 choice arithmetic, unrolled ``length``
+    steps."""
+    ws = ", ".join(str(w) for w in range(wpv))
+    ctes = [f"""nidx AS (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM psym
+),
+nn AS (
+  SELECT n.src, n.idx, n.dst, d.nbrs AS dst_deg
+  FROM nidx n JOIN pdeg d ON d.id = n.dst
+),
+s0 AS (
+  SELECT d.id * {wpv} + w.w AS walk_id, d.id AS cur, d.nbrs AS cur_deg
+  FROM pdeg d CROSS JOIN (SELECT UNNEST([{ws}]) AS w) w
+)"""]
+    for t in range(1, length + 1):
+        ctes.append(f"""s{t} AS (
+  SELECT s.walk_id, n.dst AS cur, n.dst_deg AS cur_deg
+  FROM s{t - 1} s JOIN nn n
+    ON n.src = s.cur
+   AND n.idx = CAST('0x' || SUBSTR(md5(
+         'walk:{seed}:' || CAST(s.walk_id AS VARCHAR) || ':{t}:'
+         || CAST(s.cur AS VARCHAR)), 1, 15) AS BIGINT) % s.cur_deg
+)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
+        for t in range(length + 1)
+    )
+    return (
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
+        + "\n" + selects
     )
 
 
@@ -1386,6 +1443,8 @@ FROM ranked WHERE rn = 1"""
 SELECT ns.community AS c_src, nd.community AS c_dst, SUM(e.weight) AS weight
 FROM sym e JOIN nation ns ON e.src = ns.id JOIN nation nd ON e.dst = nd.id
 GROUP BY 1, 2"""
+
+    sql["random_walks"] = _walks_sql(WALK_LEN, WALKS_PER_VERTEX, 42)
 
     sql["louvain_supersteps_fixed"] = _louvain_fixed_sql(LOUVAIN_FIXED_STEPS)
 

@@ -107,6 +107,7 @@ def main() -> None:
         "triangles_per_vertex",
         "clustering_coeff",
         "kcore",
+        "random_walks",
         "dedup_exact",
         "ngram_jaccard_dups",
         "minhash_lsh_dups",

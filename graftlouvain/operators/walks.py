@@ -1,0 +1,108 @@
+"""Deterministic random walks over a LinkGraph — the graph→sequence
+training-data operator (DeepWalk, Perozzi et al. 2014 / node2vec, Grover &
+Leskovec 2016: walk corpora are THE standard input for graph-embedding
+training, which makes this a first-class pipeline op alongside dedup/ANN).
+
+Spark-first shape: one equi join per step. The walk frontier
+[walk_id, step, cur, cur_deg] joins an INDEXED neighbor table
+[src, idx, dst, dst_deg] on (cur = src, idx = choice), where
+
+    choice = md5-hash(seed, walk_id, step, cur)  mod  cur_deg
+
+— a seeded hash in place of an RNG, so walks are a pure function of
+(graph, seed): reproducible across runs, partitionings, AND engines (the
+DuckDB oracle replays the identical md5 arithmetic — the same
+``conv(substr(md5(...)))`` trick every hashing operator here uses). The
+neighbor index is ``row_number() − 1`` per src ordered by dst — uniform
+choice over DISTINCT neighbors (multi-edges were pair-aggregated at graph
+build; weighted choice would need a cumulative-weight range lookup, out of
+scope).
+
+Scale: the indexed edge table is built once (one window over the
+src-partitioned cached edges) and each step is a co-partitioned equi join of
+the O(V·walks) frontier against it — no shuffle of the edge table beyond its
+resident partitioning, no UDF, frontier size constant in walk length. The
+walk length unrolls into the plan (length is small and fixed in practice:
+DeepWalk uses 40, driver-gate tests use 4), with the output accumulated as
+one union of per-step frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graftlouvain.operators.graph import LinkGraph
+
+
+def _choice_hash(tag: "F.Column") -> "F.Column":
+    """60-bit nonnegative integer from md5(tag) — first 15 hex chars, the
+    cross-engine-exact parse (dedup._md5_pair convention)."""
+    return F.conv(F.substring(F.md5(tag), 1, 15), 16, 10).cast("long")
+
+
+def indexed_neighbors(graph: LinkGraph) -> DataFrame:
+    """[src, idx, dst, dst_deg]: neighbors of each vertex indexed 0..deg−1 in
+    ascending dst order, each carrying the DESTINATION's neighbor count so
+    the walk join never needs a separate degree lookup per step."""
+    w = Window.partitionBy("src").orderBy("dst")
+    idx = graph.edges.select(
+        "src", "dst", (F.row_number().over(w) - F.lit(1)).alias("idx")
+    )
+    deg = graph.degrees.select(
+        F.col("id").alias("dst"), F.col("out_degree").alias("dst_deg")
+    )
+    return idx.join(deg, "dst").select("src", "idx", "dst", "dst_deg")
+
+
+def random_walks(
+    graph: LinkGraph,
+    length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """[walk_id, step, vertex] — ``walks_per_vertex`` seeded walks of
+    ``length`` steps from every vertex (step 0 = the start vertex itself;
+    walk_id = vertex_id · walks_per_vertex + w). Every vertex in a LinkGraph
+    has ≥ 1 neighbor (possibly its self-loop), so walks never strand."""
+    nbrs = indexed_neighbors(graph)
+    deg = graph.degrees.select(
+        F.col("id").alias("cur"), F.col("out_degree").alias("cur_deg")
+    )
+    start = graph.vertices.select(
+        F.explode(
+            F.array(*[
+                (F.col("id") * F.lit(walks_per_vertex) + F.lit(w)).alias(f"w{w}")
+                for w in range(walks_per_vertex)
+            ])
+        ).alias("walk_id"),
+        F.col("id").alias("cur"),
+    ).join(deg, "cur")
+    frames = [
+        start.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
+    ]
+    state = start
+    for t in range(1, length + 1):
+        tag = F.concat_ws(
+            ":",
+            F.lit(f"walk:{seed}"),
+            F.col("walk_id").cast("string"),
+            F.lit(str(t)),
+            F.col("cur").cast("string"),
+        )
+        choice = (_choice_hash(tag) % F.col("cur_deg")).alias("idx")
+        hop = state.select("walk_id", F.col("cur").alias("src"), choice).join(
+            nbrs, ["src", "idx"]
+        )
+        state = hop.select(
+            "walk_id", F.col("dst").alias("cur"), F.col("dst_deg").alias("cur_deg")
+        )
+        frames.append(
+            state.select(
+                "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

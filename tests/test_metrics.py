@@ -107,3 +107,32 @@ def test_kcore_matches_python(spark, edges, k):
     # fixed-round unrolling (the SQL-oracle twin) reaches the same fixpoint
     got_fixed = {r["id"] for r in kcore(g, k, rounds=12).collect()}
     assert got_fixed == got
+
+
+def test_random_walks_valid_and_deterministic(spark):
+    """Walk properties on the karate graph: (1) every consecutive
+    (vertex, next) pair is a real edge, (2) step-0 covers every vertex
+    walks_per_vertex times, (3) two evaluations are row-identical (the walk
+    is a pure function of (graph, seed)), (4) a different seed changes at
+    least one hop (the seed actually participates)."""
+    from graftlouvain.operators.walks import random_walks
+
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    w = random_walks(g, length=5, walks_per_vertex=2, seed=42)
+    rows = {(r["walk_id"], r["step"]): r["vertex"] for r in w.collect()}
+    edges = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    n_v = g.stats.num_vertices
+    assert len(rows) == n_v * 2 * 6
+    starts = [v for (wid, s), v in rows.items() if s == 0]
+    assert sorted(starts) == sorted(
+        v for v in {r[0] for r in edges} for _ in range(2)
+    )
+    for (wid, s), v in rows.items():
+        if s > 0:
+            assert (rows[(wid, s - 1)], v) in edges
+    again = {(r["walk_id"], r["step"]): r["vertex"] for r in random_walks(
+        g, length=5, walks_per_vertex=2, seed=42).collect()}
+    assert again == rows
+    other = {(r["walk_id"], r["step"]): r["vertex"] for r in random_walks(
+        g, length=5, walks_per_vertex=2, seed=7).collect()}
+    assert other != rows
