@@ -48,6 +48,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input parallelism guard: a small parquet scan arrives as 1-2
+    partitions, which serializes the gram/token EXPLODE — the dominant map
+    work of every text-dedup operator — onto one core (measured at sf0.1:
+    the gram stage alone 4.5-6.5 s single-partition vs 0.6-0.9 s spread,
+    the whole-input scan being ~1.5 MB). Round-robin repartition to the
+    session's default parallelism whenever the scan has fewer partitions; at
+    real scale the scan already carries >= cores partitions and this is a
+    NO-OP (no shuffle added — the guard is what makes it scale-safe). Output
+    is row-identical: everything downstream is an aggregation."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _char_ngrams(text_col: str, n: int) -> "F.Column":
     """Distinct character n-grams of lower-cased text, as an array column —
     built with sequence+transform (whole-stage codegen, no UDF)."""
@@ -67,7 +83,9 @@ def doc_ngrams(
 ) -> DataFrame:
     """Exploded distinct (doc_id, gram) pairs."""
     grams = _char_ngrams(text_col, n)
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+    return _spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
 
 
 def _gram_tables(
@@ -326,7 +344,7 @@ def simhash64(
     # \x0B (vertical tab) while RE2's does not, so a bare \s+ would tokenize
     # a \x0B-carrying document differently and break bit-exact parity.
     h1, h2 = _md5_pair(F.col("token"))
-    tok = docs.select(
+    tok = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), _WS_RE), lambda t: t != "")
