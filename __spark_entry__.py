@@ -295,6 +295,25 @@ def q_random_walks(spark, sf):
     ).select("walk_id", "step", "vertex")
 
 
+WALK_WINDOW = 2
+
+
+def q_walk_pairs(spark, sf):
+    """Skip-gram (center, context, count) pairs within ±2 steps over the
+    deterministic walk corpus — the word2vec-ready training-pair extraction
+    (DeepWalk §4.2) composed on ``random_walks``; the oracle re-derives the
+    identical walks and pairs them in SQL."""
+    from graftlouvain.operators.walks import random_walks, walk_skipgram_pairs
+
+    walks = random_walks(
+        _part_graph(spark, sf), length=WALK_LEN,
+        walks_per_vertex=WALKS_PER_VERTEX, seed=42,
+    )
+    return walk_skipgram_pairs(walks, window=WALK_WINDOW).select(
+        "center", "context", "weight"
+    )
+
+
 def q_graph_counts(spark, sf):
     """G1/G7/A6: global vertex count, directed edge count, total weight (2m)."""
     g = _graph(spark, sf)
@@ -763,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "kcore": q_kcore,
         "random_walks": q_random_walks,
+        "walk_pairs": q_walk_pairs,
         "personalized_pagerank": q_personalized_pagerank,
         "corpus_select": q_corpus_select,
         "events_topk": q_events_topk,
@@ -916,11 +936,13 @@ def _lpa_sql(iters: int = 5) -> str:
     )
 
 
-def _walks_sql(length: int = 4, wpv: int = 2, seed: int = 42) -> str:
-    """DuckDB twin of ``q_random_walks``: identical neighbor index
+def _walks_ctes(length: int = 4, wpv: int = 2, seed: int = 42) -> str:
+    """The walk unroll as a CTE chain ending in relation
+    ``walks(walk_id, step, vertex)`` — identical neighbor index
     (row_number − 1 per src ordered by dst over the symmetrized part-graph
-    edges) and identical seeded-md5 choice arithmetic, unrolled ``length``
-    steps."""
+    edges) and identical seeded-md5 choice arithmetic to
+    operators/walks.py::random_walks. Shared by the ``random_walks`` and
+    ``walk_pairs`` oracles."""
     ws = ", ".join(str(w) for w in range(wpv))
     ctes = [f"""nidx AS (
   SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
@@ -943,13 +965,33 @@ s0 AS (
          'walk:{seed}:' || CAST(s.walk_id AS VARCHAR) || ':{t}:'
          || CAST(s.cur AS VARCHAR)), 1, 15) AS BIGINT) % s.cur_deg
 )""")
-    selects = "\nUNION ALL ".join(
+    selects = "\n  UNION ALL ".join(
         f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
         for t in range(length + 1)
     )
+    ctes.append(f"walks AS (\n  {selects}\n)")
+    return ",\n".join(ctes)
+
+
+def _walks_sql(length: int = 4, wpv: int = 2, seed: int = 42) -> str:
     return (
-        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
-        + "\n" + selects
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + _walks_ctes(length, wpv, seed)
+        + "\nSELECT walk_id, step, vertex FROM walks"
+    )
+
+
+def _walk_pairs_sql(length: int, wpv: int, seed: int, window: int) -> str:
+    """DuckDB twin of ``q_walk_pairs``: skip-gram (center, context) pair
+    counts within ±window steps over the identical walk relation."""
+    return (
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + _walks_ctes(length, wpv, seed)
+        + f"""
+SELECT a.vertex AS center, b.vertex AS context, COUNT(*) AS weight
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND a.step != b.step
+ AND ABS(a.step - b.step) <= {window}
+GROUP BY 1, 2"""
     )
 
 
@@ -1445,6 +1487,8 @@ FROM sym e JOIN nation ns ON e.src = ns.id JOIN nation nd ON e.dst = nd.id
 GROUP BY 1, 2"""
 
     sql["random_walks"] = _walks_sql(WALK_LEN, WALKS_PER_VERTEX, 42)
+
+    sql["walk_pairs"] = _walk_pairs_sql(WALK_LEN, WALKS_PER_VERTEX, 42, WALK_WINDOW)
 
     sql["louvain_supersteps_fixed"] = _louvain_fixed_sql(LOUVAIN_FIXED_STEPS)
 

@@ -106,3 +106,26 @@ def random_walks(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """[center, context, weight] — skip-gram co-occurrence pairs within
+    ±``window`` steps of the same walk, weight = occurrence count: the
+    direct input of a word2vec-style embedding trainer (DeepWalk §4.2).
+    One equi self-join on walk_id (each walk contributes ≤ (L+1)·2w pairs —
+    bounded fan-out, no quadratic blowup) + one aggregation."""
+    a = walks.select(
+        "walk_id", F.col("step").alias("s1"), F.col("vertex").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("s2"), F.col("vertex").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("s1") != F.col("s2"))
+            & (F.abs(F.col("s1") - F.col("s2")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

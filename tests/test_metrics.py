@@ -136,3 +136,29 @@ def test_random_walks_valid_and_deterministic(spark):
     other = {(r["walk_id"], r["step"]): r["vertex"] for r in random_walks(
         g, length=5, walks_per_vertex=2, seed=7).collect()}
     assert other != rows
+
+
+def test_walk_skipgram_pairs_match_python(spark):
+    """Pair extraction equals a pure-Python recompute over the collected
+    walks (window ±2, ordered pairs, per-(center,context) counts)."""
+    from collections import Counter
+
+    from graftlouvain.operators.walks import random_walks, walk_skipgram_pairs
+
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    walks = random_walks(g, length=5, walks_per_vertex=2, seed=42)
+    rows = walks.collect()
+    seq = {}
+    for r in rows:
+        seq.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    want = Counter()
+    for steps in seq.values():
+        for s1, c in steps.items():
+            for s2, x in steps.items():
+                if s1 != s2 and abs(s1 - s2) <= 2:
+                    want[(c, x)] += 1
+    got = {
+        (r["center"], r["context"]): r["weight"]
+        for r in walk_skipgram_pairs(walks, window=2).collect()
+    }
+    assert got == dict(want) and len(got) > 0
