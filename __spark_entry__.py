@@ -431,6 +431,30 @@ def q_louvain_supersteps_fixed(spark, sf):
     return st.select("id", "community")
 
 
+def q_louvain_supersteps_part(spark, sf):
+    """Second fixed-superstep certification on a NON-trivial topology: the
+    sparse part co-occurrence graph from SINGLETON init (the supplier graph
+    of ``louvain_supersteps_fixed`` is complete, which limits how much of
+    the move/gate space it exercises; singleton init drives the even-gate
+    merge cascade the real level-0 run starts with). Same engine path, same
+    DuckDB CTE twin parameterized over the part-graph relations."""
+    from graftlouvain.functions.iterate import materialize, superstep_planning
+    from graftlouvain.operators.graph import singleton_assignments
+    from graftlouvain.operators.louvain import _superstep
+
+    g = _part_graph(spark, sf)
+    asg = singleton_assignments(g).join(
+        g.degrees.select("id", F.col("degree").alias("k_i")), "id"
+    )
+    with superstep_planning(spark):
+        st = materialize(asg)
+        for step in range(LOUVAIN_FIXED_STEPS):
+            st = materialize(
+                _superstep(g, st, step, 1e-12).select("id", "community", "k_i")
+            )
+    return st.select("id", "community")
+
+
 def q_pagerank(spark, sf):
     """PageRank, fixed 10 iterations (matches the chained-CTE SQL oracle)."""
     pr = pagerank(_graph(spark, sf), alpha=0.85, n_iter=10)
@@ -795,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_nation": q_coarsen_nation,
         "louvain_communities": q_louvain_communities,
         "louvain_supersteps_fixed": q_louvain_supersteps_fixed,
+        "louvain_supersteps_part": q_louvain_supersteps_part,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
@@ -995,22 +1020,30 @@ GROUP BY 1, 2"""
     )
 
 
-def _louvain_fixed_sql(n_steps: int = 2) -> str:
-    """DuckDB twin of ``q_louvain_supersteps_fixed``: the engine's gated
+_NATION_INIT = """
+  SELECT n.id, n.community, d.degree AS k_i
+  FROM nation n JOIN deg d ON d.id = n.id"""
+
+
+def _louvain_fixed_sql(
+    n_steps: int = 2,
+    prefix: str | None = None,
+    sym: str = "sym",
+    init: str = _NATION_INIT,
+    S: str = "(SELECT s FROM s2m)",
+) -> str:
+    """DuckDB twin of the fixed-superstep Louvain queries: the engine's gated
     superstep CTE chain (a dialect port of operators/louvain._superstep_cte —
     max_by over a (score, −community) struct becomes a ROW_NUMBER rank with
-    the identical tie order), unrolled ``n_steps`` times from nation init.
-    The stay score is the analytic form the fast path computes
-    (stay_kic − (tot_cur − k_i)·k_i/S with stay_kic = the own-community
-    candidate's k_ic, 0 when absent); the move gate is
-    strict-improvement + the even/odd direction oscillation breaker."""
-    S = "(SELECT s FROM s2m)"
-    ctes = [
-        """st0 AS MATERIALIZED (
-  SELECT n.id, n.community, d.degree AS k_i
-  FROM nation n JOIN deg d ON d.id = n.id
-)"""
-    ]
+    the identical tie order), unrolled ``n_steps`` times from the ``init``
+    state over the ``sym`` edge relation of ``prefix``. The stay score is the
+    analytic form the fast path computes (stay_kic − (tot_cur − k_i)·k_i/S
+    with stay_kic = the own-community candidate's k_ic, 0 when absent); the
+    move gate is strict-improvement + the even/odd direction oscillation
+    breaker."""
+    if prefix is None:
+        prefix = _EDGES_CTE
+    ctes = [f"st0 AS MATERIALIZED ({init}\n)"]
     for i in range(n_steps):
         d = "b.nbr_comm < b.cur_comm" if i % 2 == 0 else "b.nbr_comm > b.cur_comm"
         o = i + 1
@@ -1018,7 +1051,7 @@ def _louvain_fixed_sql(n_steps: int = 2) -> str:
   SELECT e.src AS src, s.community AS nbr_comm,
          CASE WHEN e.src != e.dst THEN e.weight
               ELSE CAST(0.0 AS DOUBLE) END AS k_ic
-  FROM sym e JOIN st{i} s ON e.dst = s.id
+  FROM {sym} e JOIN st{i} s ON e.dst = s.id
 ),
 cand{i} AS (SELECT src, nbr_comm, SUM(k_ic) AS k_ic FROM nbr{i} GROUP BY 1, 2),
 tot{i} AS (SELECT community AS nbr_comm, SUM(k_i) AS tot FROM st{i} GROUP BY 1),
@@ -1052,7 +1085,7 @@ st{o} AS MATERIALIZED (
   FROM best{i} b JOIN tot{i} t2 ON b.cur_comm = t2.nbr_comm
 )""")
     return (
-        "WITH " + _EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
+        "WITH " + prefix.strip() + ",\n" + ",\n".join(ctes)
         + f"\nSELECT id, community FROM st{n_steps}"
     )
 
@@ -1491,6 +1524,14 @@ GROUP BY 1, 2"""
     sql["walk_pairs"] = _walk_pairs_sql(WALK_LEN, WALKS_PER_VERTEX, 42, WALK_WINDOW)
 
     sql["louvain_supersteps_fixed"] = _louvain_fixed_sql(LOUVAIN_FIXED_STEPS)
+
+    sql["louvain_supersteps_part"] = _louvain_fixed_sql(
+        LOUVAIN_FIXED_STEPS,
+        prefix=_PART_EDGES_CTE,
+        sym="psym",
+        init="\n  SELECT id, id AS community, degree AS k_i FROM pdeg",
+        S="(SELECT SUM(degree) FROM pdeg)",
+    )
 
     sql["lsh_topk"] = _lsh_topk_sql(
         k=5, n_bits=LSH_TOPK_BITS, n_tables=LSH_TOPK_TABLES, seed=42, dim=64
