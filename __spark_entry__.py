@@ -298,6 +298,21 @@ def q_random_walks(spark, sf):
 WALK_WINDOW = 2
 
 
+def q_weighted_walks(spark, sf):
+    """Weight-proportional walk corpus over the part graph (co-change counts
+    as transition weights — node2vec's weighted transition, p=q=1): hop =
+    seeded-md5 hash mod Σweight landing in one neighbor's exact integer
+    cumulative range. Quantized weights make the ranges — and the sampled
+    hop — bit-identical cross-engine; operator:
+    graftlouvain/operators/walks.py::weighted_random_walks."""
+    from graftlouvain.operators.walks import weighted_random_walks
+
+    return weighted_random_walks(
+        _part_graph(spark, sf), length=WALK_LEN,
+        walks_per_vertex=WALKS_PER_VERTEX, seed=42, scale=1,
+    ).select("walk_id", "step", "vertex")
+
+
 def q_walk_pairs(spark, sf):
     """Skip-gram (center, context, count) pairs within ±2 steps over the
     deterministic walk corpus — the word2vec-ready training-pair extraction
@@ -807,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "random_walks": q_random_walks,
         "walk_pairs": q_walk_pairs,
+        "weighted_walks": q_weighted_walks,
         "personalized_pagerank": q_personalized_pagerank,
         "corpus_select": q_corpus_select,
         "events_topk": q_events_topk,
@@ -1023,6 +1039,52 @@ GROUP BY 1, 2"""
 _NATION_INIT = """
   SELECT n.id, n.community, d.degree AS k_i
   FROM nation n JOIN deg d ON d.id = n.id"""
+
+
+def _weighted_walks_sql(length: int = 4, wpv: int = 2, seed: int = 42) -> str:
+    """DuckDB twin of ``q_weighted_walks``: identical quantized cumulative
+    weight ranges (lo inclusive, hi exclusive, ascending dst) and identical
+    seeded-md5 choice arithmetic, unrolled ``length`` steps."""
+    ws = ", ".join(str(w) for w in range(wpv))
+    h = (
+        f"CAST('0x' || SUBSTR(md5('wwalk:{seed}:' || CAST(s.walk_id AS VARCHAR)"
+        " || ':{t}:' || CAST(s.cur AS VARCHAR)), 1, 15) AS BIGINT) % s.cur_totw"
+    )
+    ctes = [f"""ncum AS (
+  SELECT src, dst, CAST(ROUND(weight) AS BIGINT) AS wq,
+         CAST(SUM(CAST(ROUND(weight) AS BIGINT)) OVER (
+              PARTITION BY src ORDER BY dst
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+  FROM psym
+),
+nrng AS (SELECT src, dst, hi - wq AS lo, hi FROM ncum),
+wtot AS (SELECT src, CAST(MAX(hi) AS BIGINT) AS totw FROM ncum GROUP BY src),
+nn AS (
+  SELECT n.src, n.lo, n.hi, n.dst, t.totw AS dst_totw
+  FROM nrng n JOIN wtot t ON t.src = n.dst
+),
+ws0 AS (
+  SELECT d.id * {wpv} + w.w AS walk_id, d.id AS cur, t.totw AS cur_totw
+  FROM pdeg d JOIN wtot t ON t.src = d.id
+  CROSS JOIN (SELECT UNNEST([{ws}]) AS w) w
+)"""]
+    for t in range(1, length + 1):
+        ht = h.replace("{t}", str(t))
+        ctes.append(f"""ws{t} AS (
+  SELECT s.walk_id, n.dst AS cur, n.dst_totw AS cur_totw
+  FROM ws{t - 1} s JOIN nn n
+    ON n.src = s.cur
+   AND {ht} >= n.lo
+   AND {ht} < n.hi
+)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM ws{t}"
+        for t in range(length + 1)
+    )
+    return (
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
+        + "\n" + selects
+    )
 
 
 def _louvain_fixed_sql(
@@ -1522,6 +1584,8 @@ GROUP BY 1, 2"""
     sql["random_walks"] = _walks_sql(WALK_LEN, WALKS_PER_VERTEX, 42)
 
     sql["walk_pairs"] = _walk_pairs_sql(WALK_LEN, WALKS_PER_VERTEX, 42, WALK_WINDOW)
+
+    sql["weighted_walks"] = _weighted_walks_sql(WALK_LEN, WALKS_PER_VERTEX, 42)
 
     sql["louvain_supersteps_fixed"] = _louvain_fixed_sql(LOUVAIN_FIXED_STEPS)
 

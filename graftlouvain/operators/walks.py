@@ -108,6 +108,85 @@ def random_walks(
     return out
 
 
+def indexed_neighbors_weighted(graph: LinkGraph, scale: int = 1) -> DataFrame:
+    """[src, lo, hi, dst, dst_totw]: per-src cumulative QUANTIZED-weight
+    ranges in ascending dst order (lo inclusive, hi exclusive), plus the
+    destination's own range total — the lookup table for weight-proportional
+    hop choice. Weights are quantized to integers (``round(weight·scale)``)
+    so the cumulative sums — and hence the sampled hop — are EXACT in both
+    engines (float cumsums would round differently and flip boundary picks);
+    for integer-valued weights (co-change counts) scale=1 loses nothing."""
+    w = Window.partitionBy("src").orderBy("dst").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wq = F.round(F.col("weight") * F.lit(scale)).cast("long")
+    e = graph.edges.select("src", "dst", wq.alias("wq")).select(
+        "src", "dst", "wq", F.sum("wq").over(w).alias("hi")
+    ).select("src", "dst", (F.col("hi") - F.col("wq")).alias("lo"), "hi")
+    tot = e.groupBy("src").agg(F.max("hi").alias("totw"))
+    dst_tot = tot.select(F.col("src").alias("dst"), F.col("totw").alias("dst_totw"))
+    return e.join(dst_tot, "dst").select("src", "lo", "hi", "dst", "dst_totw")
+
+
+def weighted_random_walks(
+    graph: LinkGraph,
+    length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    scale: int = 1,
+) -> DataFrame:
+    """[walk_id, step, vertex] — like :func:`random_walks` but the next hop
+    is chosen proportionally to EDGE WEIGHT: x = md5-hash mod Σwq lands in
+    exactly one neighbor's cumulative range (node2vec's weighted transition
+    with p=q=1; Grover & Leskovec 2016 §3.2). The hop join is an equi join
+    on the current vertex with the range predicate as a post-filter — per
+    step it materializes frontier-adjacent edge rows (O(Σ deg(frontier))),
+    the standard cost of weighted sampling without per-vertex alias tables."""
+    nbrs = indexed_neighbors_weighted(graph, scale)
+    tot = nbrs.groupBy("src").agg(F.max("hi").alias("totw")).select(
+        F.col("src").alias("cur"), F.col("totw").alias("cur_totw")
+    )
+    start = graph.vertices.select(
+        F.explode(
+            F.array(*[
+                (F.col("id") * F.lit(walks_per_vertex) + F.lit(w)).alias(f"w{w}")
+                for w in range(walks_per_vertex)
+            ])
+        ).alias("walk_id"),
+        F.col("id").alias("cur"),
+    ).join(tot, "cur")
+    frames = [
+        start.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
+    ]
+    state = start
+    for t in range(1, length + 1):
+        tag = F.concat_ws(
+            ":",
+            F.lit(f"wwalk:{seed}"),
+            F.col("walk_id").cast("string"),
+            F.lit(str(t)),
+            F.col("cur").cast("string"),
+        )
+        x = (_choice_hash(tag) % F.col("cur_totw")).alias("x")
+        hop = (
+            state.select("walk_id", F.col("cur").alias("src"), x)
+            .join(nbrs, "src")
+            .where((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        )
+        state = hop.select(
+            "walk_id", F.col("dst").alias("cur"), F.col("dst_totw").alias("cur_totw")
+        )
+        frames.append(
+            state.select(
+                "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """[center, context, weight] — skip-gram co-occurrence pairs within
     ±``window`` steps of the same walk, weight = occurrence count: the

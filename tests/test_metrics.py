@@ -162,3 +162,26 @@ def test_walk_skipgram_pairs_match_python(spark):
         for r in walk_skipgram_pairs(walks, window=2).collect()
     }
     assert got == dict(want) and len(got) > 0
+
+
+def test_weighted_walks_valid_and_biased(spark):
+    """Weighted walks: (1) every hop follows a real edge, (2) deterministic
+    across evaluations, (3) hop choice is actually weight-proportional — on
+    a hub whose two spokes carry weights 99 vs 1, ~99 % of first hops from
+    the hub take the heavy spoke (binomial bound: >= 90 of 100 walks)."""
+    from graftlouvain.operators.walks import weighted_random_walks
+
+    edges = [(0, 1, 99.0), (0, 2, 1.0), (1, 2, 1.0)]
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    w = weighted_random_walks(g, length=1, walks_per_vertex=100, seed=42)
+    rows = {(r["walk_id"], r["step"]): r["vertex"] for r in w.collect()}
+    edge_set = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    for (wid, s), v in rows.items():
+        if s > 0:
+            assert (rows[(wid, s - 1)], v) in edge_set
+    hub_walks = [wid for (wid, s), v in rows.items() if s == 0 and v == 0]
+    heavy = sum(1 for wid in hub_walks if rows[(wid, 1)] == 1)
+    assert len(hub_walks) == 100 and heavy >= 90
+    again = {(r["walk_id"], r["step"]): r["vertex"] for r in weighted_random_walks(
+        g, length=1, walks_per_vertex=100, seed=42).collect()}
+    assert again == rows
