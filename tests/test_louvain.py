@@ -317,3 +317,33 @@ def test_level_preserves_non_graph_ids(spark):
     labels = _labels(out)
     assert labels[999] == 7
     assert set(labels) == set(_labels(asg))
+
+
+def test_random_graphs_match_oracle(spark):
+    """Property sweep: 6 seeded random weighted graphs (Erdős–Rényi-ish,
+    12-24 vertices, integer weights 1-5, self-loops allowed) — FULL
+    multi-level engine labels must equal the sequential oracle EXACTLY on
+    every one. The four fixed fixtures pin known shapes; this sweep covers
+    arbitrary sparse topologies (isolated-ish vertices, multi-components,
+    ties) where gate/tie-break bugs would actually hide. Seeded stdlib
+    randomness, not hypothesis: each case costs ~2-4 s of Spark jobs, so a
+    shrinking search would time out while a fixed sweep stays deterministic
+    and CI-sized."""
+    import random as _random
+
+    for seed in range(6):
+        rng = _random.Random(1000 + seed)
+        n = rng.randint(12, 24)
+        edges = []
+        for u in range(n):
+            for v in range(u, n):
+                p = 0.18 if u != v else 0.05
+                if rng.random() < p:
+                    edges.append((u, v, float(rng.randint(1, 5))))
+        if not edges:
+            continue
+        g = LinkGraph.from_edges(to_df(spark, edges))
+        result = louvain(g)
+        want, q_want = seq_louvain(edges)
+        assert _labels(result.assignments) == want, f"seed {seed}"
+        assert result.modularity == pytest.approx(q_want, abs=1e-9), f"seed {seed}"
