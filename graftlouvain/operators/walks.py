@@ -35,6 +35,23 @@ from pyspark.sql import functions as F
 from graftlouvain.operators.graph import LinkGraph
 
 
+def _union_frames(frames: list, caches: list, eager: bool) -> DataFrame:
+    """Union the per-step output frames; in eager mode pin the result with
+    ``materialize`` (one pass — each frame reads its step's cache, computed
+    once) and release the step caches immediately (the minhash shared-cache
+    pattern: the checkpointed result is independent storage)."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    if eager:
+        from graftlouvain.functions.iterate import materialize
+
+        out = materialize(out)
+        for c in caches:
+            c.unpersist()
+    return out
+
+
 def _choice_hash(tag: "F.Column") -> "F.Column":
     """60-bit nonnegative integer from md5(tag) — first 15 hex chars, the
     cross-engine-exact parse (dedup._md5_pair convention)."""
@@ -60,11 +77,22 @@ def random_walks(
     length: int = 4,
     walks_per_vertex: int = 1,
     seed: int = 42,
+    eager: bool = True,
 ) -> DataFrame:
     """[walk_id, step, vertex] — ``walks_per_vertex`` seeded walks of
     ``length`` steps from every vertex (step 0 = the start vertex itself;
     walk_id = vertex_id · walks_per_vertex + w). Every vertex in a LinkGraph
-    has ≥ 1 neighbor (possibly its self-loop), so walks never strand."""
+    has ≥ 1 neighbor (possibly its self-loop), so walks never strand.
+
+    ``eager`` (default) caches each step's frontier and pins the final
+    union with ``materialize`` before releasing the caches: the per-step
+    output frames SHARE the walk chain's lineage, and Spark inlines
+    deterministic multi-referenced subplans (the superstep-batching lesson),
+    so a lazy plan re-executes step k's joins (length − k + 1) times —
+    quadratic in walk length where the chain is linear. DeepWalk-scale
+    lengths (40+) make that the difference between L and L²/2 frontier
+    joins. ``eager=False`` returns the lazy (recompute-prone) plan for
+    callers that compose further before one single action."""
     nbrs = indexed_neighbors(graph)
     deg = graph.degrees.select(
         F.col("id").alias("cur"), F.col("out_degree").alias("cur_deg")
@@ -81,6 +109,7 @@ def random_walks(
     frames = [
         start.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
     ]
+    caches: list = []
     state = start
     for t in range(1, length + 1):
         tag = F.concat_ws(
@@ -97,15 +126,15 @@ def random_walks(
         state = hop.select(
             "walk_id", F.col("dst").alias("cur"), F.col("dst_deg").alias("cur_deg")
         )
+        if eager:
+            state = state.cache()
+            caches.append(state)
         frames.append(
             state.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
             )
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return _union_frames(frames, caches, eager)
 
 
 def indexed_neighbors_weighted(graph: LinkGraph, scale: int = 1) -> DataFrame:
@@ -134,6 +163,7 @@ def weighted_random_walks(
     walks_per_vertex: int = 1,
     seed: int = 42,
     scale: int = 1,
+    eager: bool = True,
 ) -> DataFrame:
     """[walk_id, step, vertex] — like :func:`random_walks` but the next hop
     is chosen proportionally to EDGE WEIGHT: x = md5-hash mod Σwq lands in
@@ -141,7 +171,9 @@ def weighted_random_walks(
     with p=q=1; Grover & Leskovec 2016 §3.2). The hop join is an equi join
     on the current vertex with the range predicate as a post-filter — per
     step it materializes frontier-adjacent edge rows (O(Σ deg(frontier))),
-    the standard cost of weighted sampling without per-vertex alias tables."""
+    the standard cost of weighted sampling without per-vertex alias tables.
+    ``eager``: same per-step caching as :func:`random_walks` (without it the
+    shared chain lineage re-executes quadratically in walk length)."""
     nbrs = indexed_neighbors_weighted(graph, scale)
     tot = nbrs.groupBy("src").agg(F.max("hi").alias("totw")).select(
         F.col("src").alias("cur"), F.col("totw").alias("cur_totw")
@@ -158,6 +190,7 @@ def weighted_random_walks(
     frames = [
         start.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
     ]
+    caches: list = []
     state = start
     for t in range(1, length + 1):
         tag = F.concat_ws(
@@ -176,15 +209,15 @@ def weighted_random_walks(
         state = hop.select(
             "walk_id", F.col("dst").alias("cur"), F.col("dst_totw").alias("cur_totw")
         )
+        if eager:
+            state = state.cache()
+            caches.append(state)
         frames.append(
             state.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
             )
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return _union_frames(frames, caches, eager)
 
 
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
