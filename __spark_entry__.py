@@ -296,6 +296,33 @@ def q_random_walks(spark, sf):
 
 
 WALK_WINDOW = 2
+BFS_SOURCES = 4
+BFS_DEPTH = 6
+
+
+def q_bfs_distances(spark, sf):
+    """Multi-source BFS over the part graph: shortest hop-distance from 4
+    deterministically-sampled sources (smallest md5(id)) to every vertex
+    within 6 hops — synchronous frontier min-relaxation, one materialized
+    round per hop; the SQL twin unrolls the same 6 monotone rounds
+    (operator: graftlouvain/operators/paths.py)."""
+    from graftlouvain.operators.paths import bfs_distances, sample_sources
+
+    g = _part_graph(spark, sf)
+    return bfs_distances(
+        g, sample_sources(g, BFS_SOURCES), max_depth=BFS_DEPTH
+    ).select("seed", "id", "dist")
+
+
+def q_harmonic_closeness(spark, sf):
+    """Sampled harmonic closeness (Eppstein-Wang estimator, Boldi-Vigna
+    harmonic form): Σ 1/dist over the 4 sampled sources, 0 for unreached —
+    the scalable closeness-centrality path at link-graph size."""
+    from graftlouvain.operators.paths import harmonic_closeness
+
+    return harmonic_closeness(
+        _part_graph(spark, sf), n_sources=BFS_SOURCES, max_depth=BFS_DEPTH
+    ).select("id", "closeness")
 
 
 def q_weighted_walks(spark, sf):
@@ -823,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "walk_pairs": q_walk_pairs,
         "weighted_walks": q_weighted_walks,
+        "bfs_distances": q_bfs_distances,
+        "harmonic_closeness": q_harmonic_closeness,
         "personalized_pagerank": q_personalized_pagerank,
         "corpus_select": q_corpus_select,
         "events_topk": q_events_topk,
@@ -1039,6 +1068,45 @@ GROUP BY 1, 2"""
 _NATION_INIT = """
   SELECT n.id, n.community, d.degree AS k_i
   FROM nation n JOIN deg d ON d.id = n.id"""
+
+
+def _bfs_ctes(n_sources: int, depth: int) -> str:
+    """Unrolled multi-source BFS min-relaxation over the part graph, ending
+    in relation ``d{depth}(seed, id, dist)`` — monotone, so rounds past the
+    diameter are no-ops (the k-core fixed-round argument)."""
+    ctes = [f"""bseeds AS (
+  SELECT id AS seed FROM pdeg ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_sources}
+),
+d0 AS MATERIALIZED (SELECT seed, seed AS id, 0 AS dist FROM bseeds)"""]
+    for t in range(1, depth + 1):
+        ctes.append(f"""d{t} AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d{t - 1}
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1 AS dist
+    FROM d{t - 1} d JOIN psym e ON e.src = d.id AND e.src != e.dst
+  ) u GROUP BY 1, 2
+)""")
+    return ",\n".join(ctes)
+
+
+def _bfs_sql(n_sources: int, depth: int) -> str:
+    return (
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + _bfs_ctes(n_sources, depth)
+        + f"\nSELECT seed, id, dist FROM d{depth}"
+    )
+
+
+def _closeness_sql(n_sources: int, depth: int) -> str:
+    return (
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + _bfs_ctes(n_sources, depth)
+        + f"""
+SELECT p.id,
+       COALESCE(ROUND(s.c, 6), 0.0) AS closeness
+FROM pdeg p LEFT JOIN (
+  SELECT id, SUM(1.0 / dist) AS c FROM d{depth} WHERE dist > 0 GROUP BY id
+) s ON s.id = p.id"""
+    )
 
 
 def _weighted_walks_sql(length: int = 4, wpv: int = 2, seed: int = 42) -> str:
@@ -1586,6 +1654,10 @@ GROUP BY 1, 2"""
     sql["walk_pairs"] = _walk_pairs_sql(WALK_LEN, WALKS_PER_VERTEX, 42, WALK_WINDOW)
 
     sql["weighted_walks"] = _weighted_walks_sql(WALK_LEN, WALKS_PER_VERTEX, 42)
+
+    sql["bfs_distances"] = _bfs_sql(BFS_SOURCES, BFS_DEPTH)
+
+    sql["harmonic_closeness"] = _closeness_sql(BFS_SOURCES, BFS_DEPTH)
 
     sql["louvain_supersteps_fixed"] = _louvain_fixed_sql(LOUVAIN_FIXED_STEPS)
 

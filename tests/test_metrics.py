@@ -185,3 +185,37 @@ def test_weighted_walks_valid_and_biased(spark):
     again = {(r["walk_id"], r["step"]): r["vertex"] for r in weighted_random_walks(
         g, length=1, walks_per_vertex=100, seed=42).collect()}
     assert again == rows
+
+
+def test_bfs_distances_match_python(spark):
+    """BFS distances from sampled sources on karate equal a pure-Python BFS,
+    and the 6-hop cap covers the graph (diameter 5)."""
+    from collections import deque
+
+    from graftlouvain.operators.paths import bfs_distances, sample_sources
+
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    srcs = [r["seed"] for r in sample_sources(g, 3).collect()]
+    got = {
+        (r["seed"], r["id"]): r["dist"]
+        for r in bfs_distances(
+            g, spark.createDataFrame([(s,) for s in srcs], "seed long"), 6
+        ).collect()
+    }
+    adj = {}
+    for r in g.edges.collect():
+        if r["src"] != r["dst"]:
+            adj.setdefault(r["src"], set()).add(r["dst"])
+    want = {}
+    for s in srcs:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            want[(s, v)] = d
+    assert got == want and len(got) > 0
