@@ -356,6 +356,34 @@ def q_walk_pairs(spark, sf):
     )
 
 
+SMOOTH_ROUNDS = 2
+
+
+def q_feature_smooth(spark, sf):
+    """GNN-style feature propagation (SGC/LightGCN smoothing) over the part
+    graph in EXACT fixed-point arithmetic: per-part integer features
+    [Σ quantity, lineitem count, Σ price-cents] averaged over neighbors
+    (weighted by co-change count, integer division) for 2 rounds. Per-row
+    cent quantization before the sum keeps every intermediate an integer,
+    so the result is bit-identical across engines and summation orders
+    (operator: graftlouvain/operators/features.py)."""
+    from graftlouvain.operators.features import feature_smooth
+
+    li = _read(spark, sf, "lineitem")
+    feats = li.groupBy(F.col("l_partkey").alias("id")).agg(
+        F.array(
+            F.sum("l_quantity").cast("long"),
+            F.count(F.lit(1)),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.lit(100)).cast("long")
+            ),
+        ).alias("q")
+    )
+    return feature_smooth(
+        _part_graph(spark, sf), feats, rounds=SMOOTH_ROUNDS
+    ).select("id", "pos", "val")
+
+
 def q_graph_counts(spark, sf):
     """G1/G7/A6: global vertex count, directed edge count, total weight (2m)."""
     g = _graph(spark, sf)
@@ -852,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_walks": q_weighted_walks,
         "bfs_distances": q_bfs_distances,
         "harmonic_closeness": q_harmonic_closeness,
+        "feature_smooth": q_feature_smooth,
         "personalized_pagerank": q_personalized_pagerank,
         "corpus_select": q_corpus_select,
         "events_topk": q_events_topk,
@@ -1106,6 +1135,35 @@ SELECT p.id,
 FROM pdeg p LEFT JOIN (
   SELECT id, SUM(1.0 / dist) AS c FROM d{depth} WHERE dist > 0 GROUP BY id
 ) s ON s.id = p.id"""
+    )
+
+
+def _feature_smooth_sql(rounds: int = 2, dim: int = 3) -> str:
+    """DuckDB twin of ``q_feature_smooth``: identical integer features and
+    fixed-point (integer-division) neighbor averaging, unrolled ``rounds``."""
+    poss = ", ".join(str(p) for p in range(dim))
+    ctes = [f"""pf AS (
+  SELECT l_partkey AS id,
+         [CAST(SUM(l_quantity) AS BIGINT),
+          COUNT(*),
+          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)] AS q
+  FROM lineitem GROUP BY 1
+),
+f0 AS (
+  SELECT id AS dst, p.pos, q[p.pos + 1] AS x
+  FROM pf CROSS JOIN (SELECT UNNEST([{poss}]) AS pos) p
+)"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""f{t} AS MATERIALIZED (
+  SELECT e.src AS dst, f.pos,
+         CAST(CAST(SUM(CAST(e.weight AS BIGINT) * f.x) AS BIGINT)
+              // CAST(SUM(CAST(e.weight AS BIGINT)) AS BIGINT) AS BIGINT) AS x
+  FROM psym e JOIN f{t - 1} f ON f.dst = e.dst
+  GROUP BY 1, 2
+)""")
+    return (
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT dst AS id, pos, x AS val FROM f{rounds}"
     )
 
 
@@ -1658,6 +1716,8 @@ GROUP BY 1, 2"""
     sql["bfs_distances"] = _bfs_sql(BFS_SOURCES, BFS_DEPTH)
 
     sql["harmonic_closeness"] = _closeness_sql(BFS_SOURCES, BFS_DEPTH)
+
+    sql["feature_smooth"] = _feature_smooth_sql(SMOOTH_ROUNDS, 3)
 
     sql["louvain_supersteps_fixed"] = _louvain_fixed_sql(LOUVAIN_FIXED_STEPS)
 

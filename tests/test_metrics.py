@@ -219,3 +219,34 @@ def test_bfs_distances_match_python(spark):
         for v, d in dist.items():
             want[(s, v)] = d
     assert got == want and len(got) > 0
+
+
+def test_feature_smooth_matches_hand_computation(spark):
+    """One fixed-point smoothing round on a 3-vertex path equals the hand
+    result (weighted integer mean of neighbor features), and a second round
+    propagates two hops."""
+    from graftlouvain.operators.features import feature_smooth
+
+    # path 0 -2- 1 -1- 2 (weights 2, 1)
+    g = LinkGraph.from_edges(to_df(spark, [(0, 1, 2.0), (1, 2, 1.0)]))
+    feats = spark.createDataFrame(
+        [(0, [10, 100]), (1, [20, 200]), (2, [30, 300])],
+        "id long, q array<long>",
+    )
+    got = {
+        (r["id"], r["pos"]): r["val"]
+        for r in feature_smooth(g, feats, rounds=1).collect()
+    }
+    # v0: only neighbor 1 (w=2) -> 20, 200; v2: only neighbor 1 -> 20, 200
+    # v1: (2*10 + 1*30) div 3 = 16; (2*100 + 1*300) div 3 = 166
+    assert got == {
+        (0, 0): 20, (0, 1): 200,
+        (1, 0): 16, (1, 1): 166,
+        (2, 0): 20, (2, 1): 200,
+    }
+    got2 = {
+        (r["id"], r["pos"]): r["val"]
+        for r in feature_smooth(g, feats, rounds=2).collect()
+    }
+    # round 2 from round-1 state: v0 <- v1 = 16; v1 <- (2*20+1*20)/3 = 20
+    assert got2[(0, 0)] == 16 and got2[(1, 0)] == 20 and got2[(2, 0)] == 16
