@@ -314,6 +314,19 @@ def q_bfs_distances(spark, sf):
     ).select("seed", "id", "dist")
 
 
+def q_sssp_distances(spark, sf):
+    """Weighted shortest paths (synchronous Bellman-Ford relaxation, 6
+    rounds) from the same 4 sampled sources, co-change count as edge length
+    — integer-valued weights keep every path sum exact, so the unrolled
+    DuckDB twin hash-matches without rounding concessions."""
+    from graftlouvain.operators.paths import sample_sources, sssp_distances
+
+    g = _part_graph(spark, sf)
+    return sssp_distances(
+        g, sample_sources(g, BFS_SOURCES), max_rounds=BFS_DEPTH
+    ).select("seed", "id", "dist")
+
+
 def q_harmonic_closeness(spark, sf):
     """Sampled harmonic closeness (Eppstein-Wang estimator, Boldi-Vigna
     harmonic form): Σ 1/dist over the 4 sampled sources, 0 for unreached —
@@ -879,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_pairs": q_walk_pairs,
         "weighted_walks": q_weighted_walks,
         "bfs_distances": q_bfs_distances,
+        "sssp_distances": q_sssp_distances,
         "harmonic_closeness": q_harmonic_closeness,
         "feature_smooth": q_feature_smooth,
         "personalized_pagerank": q_personalized_pagerank,
@@ -1123,6 +1137,27 @@ def _bfs_sql(n_sources: int, depth: int) -> str:
     return (
         "WITH " + _PART_EDGES_CTE.strip() + ",\n" + _bfs_ctes(n_sources, depth)
         + f"\nSELECT seed, id, dist FROM d{depth}"
+    )
+
+
+def _sssp_sql(n_sources: int, rounds: int) -> str:
+    """DuckDB twin of ``q_sssp_distances``: weighted min-relaxation unroll."""
+    ctes = [f"""bseeds AS (
+  SELECT id AS seed FROM pdeg ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_sources}
+),
+w0 AS MATERIALIZED (SELECT seed, seed AS id, CAST(0.0 AS DOUBLE) AS dist FROM bseeds)"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""w{t} AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM w{t - 1}
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + e.weight AS dist
+    FROM w{t - 1} d JOIN psym e ON e.src = d.id AND e.src != e.dst
+  ) u GROUP BY 1, 2
+)""")
+    return (
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT seed, id, dist FROM w{rounds}"
     )
 
 
@@ -1714,6 +1749,8 @@ GROUP BY 1, 2"""
     sql["weighted_walks"] = _weighted_walks_sql(WALK_LEN, WALKS_PER_VERTEX, 42)
 
     sql["bfs_distances"] = _bfs_sql(BFS_SOURCES, BFS_DEPTH)
+
+    sql["sssp_distances"] = _sssp_sql(BFS_SOURCES, BFS_DEPTH)
 
     sql["harmonic_closeness"] = _closeness_sql(BFS_SOURCES, BFS_DEPTH)
 

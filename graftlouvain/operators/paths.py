@@ -65,6 +65,43 @@ def bfs_distances(
     return dist
 
 
+def sssp_distances(
+    graph: LinkGraph, sources: DataFrame, max_rounds: int = 6
+) -> DataFrame:
+    """[seed, id, dist] — WEIGHTED shortest-path distance (Bellman-Ford-style
+    synchronous relaxation, ``max_rounds`` rounds) from every source, edge
+    weight as length. Every candidate distance is the same left-fold of the
+    same path's weights in both engines, so the per-(seed, vertex) MIN picks
+    identical doubles — and with integer-valued weights (co-change counts)
+    the sums are exact outright. Rounds bound the hop count, not the length:
+    a ``max_rounds``-round run is exact for all shortest paths of ≤ that
+    many edges (the fixed-unroll contract shared with BFS/k-core twins)."""
+    dist = materialize(
+        sources.select(
+            "seed", F.col("seed").alias("id"), F.lit(0.0).alias("dist")
+        )
+    )
+    edges = graph.edges.where(F.col("src") != F.col("dst")).select(
+        "src", "dst", "weight"
+    )
+    with superstep_planning(graph.edges.sparkSession):
+        for _ in range(max_rounds):
+            hop = dist.join(edges, dist["id"] == edges["src"]).select(
+                "seed",
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+            )
+            new_dist = (
+                dist.unionByName(hop)
+                .groupBy("seed", "id")
+                .agg(F.min("dist").alias("dist"))
+            )
+            prev = dist
+            dist = materialize(new_dist)
+            prev.unpersist()
+    return dist
+
+
 def harmonic_closeness(
     graph: LinkGraph, n_sources: int = 4, max_depth: int = 6
 ) -> DataFrame:

@@ -250,3 +250,22 @@ def test_feature_smooth_matches_hand_computation(spark):
     }
     # round 2 from round-1 state: v0 <- v1 = 16; v1 <- (2*20+1*20)/3 = 20
     assert got2[(0, 0)] == 16 and got2[(1, 0)] == 20 and got2[(2, 0)] == 16
+
+
+def test_sssp_weighted_shortcut(spark):
+    """Weighted relaxation takes the cheaper two-hop path: with edges
+    (0-1 w10, 0-2 w1, 2-1 w2), dist(0,1) = 3 via vertex 2 — not the direct
+    10 — and unit-weight SSSP equals BFS hop counts on karate."""
+    from graftlouvain.operators.paths import (
+        bfs_distances, sample_sources, sssp_distances)
+
+    g = LinkGraph.from_edges(to_df(spark, [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 2.0)]))
+    srcs = spark.createDataFrame([(0,)], "seed long")
+    d = {(r["seed"], r["id"]): r["dist"] for r in sssp_distances(g, srcs, 4).collect()}
+    assert d[(0, 1)] == 3.0 and d[(0, 2)] == 1.0 and d[(0, 0)] == 0.0
+
+    k = LinkGraph.from_edges(to_df(spark, FIXTURE_KARATE_W))
+    s = sample_sources(k, 2)
+    bfs = {(r["seed"], r["id"]): r["dist"] for r in bfs_distances(k, s, 6).collect()}
+    sssp = {(r["seed"], r["id"]): r["dist"] for r in sssp_distances(k, s, 6).collect()}
+    assert {kk: float(v) for kk, v in bfs.items()} == sssp
