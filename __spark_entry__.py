@@ -314,6 +314,34 @@ def q_bfs_distances(spark, sf):
     ).select("seed", "id", "dist")
 
 
+TOPK_EDGES_K = 3
+
+
+def q_topk_edges(spark, sf):
+    """Graph sparsification: each vertex's 3 heaviest co-change edges (ties
+    → smallest dst) — the hub-degree cap applied before ANN-graph builds /
+    supernode-bounded analytics; exchange-free window over the
+    src-partitioned edge cache (operator: operators/graph.py::topk_edges)."""
+    from graftlouvain.operators.graph import topk_edges
+
+    return topk_edges(_part_graph(spark, sf), TOPK_EDGES_K).select(
+        "src", "dst", "weight", "rank"
+    )
+
+
+def q_seed_eccentricity(spark, sf):
+    """Per-seed eccentricity within the 6-hop horizon (max BFS distance +
+    reach count) — the sampled diameter-lower-bound estimator composed on
+    ``bfs_distances``."""
+    from graftlouvain.operators.paths import bfs_distances, sample_sources
+
+    g = _part_graph(spark, sf)
+    d = bfs_distances(g, sample_sources(g, BFS_SOURCES), max_depth=BFS_DEPTH)
+    return d.groupBy("seed").agg(
+        F.max("dist").alias("ecc"), F.count(F.lit(1)).alias("n_reached")
+    )
+
+
 def q_sssp_distances(spark, sf):
     """Weighted shortest paths (synchronous Bellman-Ford relaxation, 6
     rounds) from the same 4 sampled sources, co-change count as edge length
@@ -893,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_walks": q_weighted_walks,
         "bfs_distances": q_bfs_distances,
         "sssp_distances": q_sssp_distances,
+        "topk_edges": q_topk_edges,
+        "seed_eccentricity": q_seed_eccentricity,
         "harmonic_closeness": q_harmonic_closeness,
         "feature_smooth": q_feature_smooth,
         "personalized_pagerank": q_personalized_pagerank,
@@ -1751,6 +1781,23 @@ GROUP BY 1, 2"""
     sql["bfs_distances"] = _bfs_sql(BFS_SOURCES, BFS_DEPTH)
 
     sql["sssp_distances"] = _sssp_sql(BFS_SOURCES, BFS_DEPTH)
+
+    sql["topk_edges"] = f"""WITH {_PART_EDGES_CTE.strip()},
+ranked AS (
+  SELECT src, dst, weight,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY weight DESC, dst ASC) AS rank
+  FROM psym
+)
+SELECT src, dst, weight, rank FROM ranked WHERE rank <= {TOPK_EDGES_K}"""
+
+    sql["seed_eccentricity"] = (
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n"
+        + _bfs_ctes(BFS_SOURCES, BFS_DEPTH)
+        + f"""
+SELECT seed, MAX(dist) AS ecc, COUNT(*) AS n_reached
+FROM d{BFS_DEPTH} GROUP BY seed"""
+    )
 
     sql["harmonic_closeness"] = _closeness_sql(BFS_SOURCES, BFS_DEPTH)
 

@@ -200,6 +200,25 @@ def community_stats(graph: LinkGraph, assignments: DataFrame) -> DataFrame:
     )
 
 
+def topk_edges(graph: LinkGraph, k: int) -> DataFrame:
+    """[src, dst, weight, rank ≤ k] — keep each vertex's ``k`` heaviest
+    out-edges (ties → smallest dst): the standard hub-degree cap for graph
+    sparsification before ANN-graph construction or supernode-bounded
+    analytics at scale. The window partitions by ``src``, which the cached
+    edge table is already hash-partitioned on, so the plan sorts within
+    resident partitions with NO exchange. NOTE: the result is a DIRECTED
+    pruning — vertex u may keep (u,v) while v drops (v,u); re-symmetrize
+    (union + max) if a downstream operator requires an undirected graph."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    return (
+        graph.edges.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "weight", "rank")
+    )
+
+
 def dense_ids(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Assign deterministic dense long ids 0..N-1 to the distinct keys of
     ``df[key_cols]``, ordered lexicographically by the key columns.
