@@ -861,6 +861,20 @@ def q_char_quantiles_approx(spark, sf):
     )
 
 
+def q_user_cardinality(spark, sf):
+    """Cardinality rollup: EXACT distinct users per event type — the
+    deduplicated-reach primitive of event pipelines. This exact twin is the
+    oracle anchor; the 100 TB path is ``approx_count_distinct`` (HLL++,
+    mergeable, no distinct shuffle), whose sketch differs from DuckDB's HLL
+    so it is pinned by a pytest error-bound instead (the same exact-oracle +
+    approx-pytest split as the quantile pair)."""
+    ev = _read(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_events_hourly(spark, sf):
     """Streaming-equivalent batch rollup: hourly windowed counts/sums per
     event type (the Structured-Streaming pipeline in
@@ -963,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_quantiles": q_char_quantiles,
         "char_quantiles_approx": q_char_quantiles_approx,
         "stream_dedup_first": q_stream_dedup_first,
+        "user_cardinality": q_user_cardinality,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
     }
@@ -2182,6 +2197,12 @@ ranked AS (
   FROM rollup
 )
 SELECT hour_epoch, event_type, n_events, rank FROM ranked WHERE rank <= 3"""
+
+    sql["user_cardinality"] = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1"""
 
     sql["events_hourly"] = """
 SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,

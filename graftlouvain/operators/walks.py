@@ -15,8 +15,8 @@ DuckDB oracle replays the identical md5 arithmetic — the same
 ``conv(substr(md5(...)))`` trick every hashing operator here uses). The
 neighbor index is ``row_number() − 1`` per src ordered by dst — uniform
 choice over DISTINCT neighbors (multi-edges were pair-aggregated at graph
-build; weighted choice would need a cumulative-weight range lookup, out of
-scope).
+build); :func:`weighted_random_walks` provides the weight-proportional
+variant via exact quantized cumulative-weight ranges.
 
 Scale: the indexed edge table is built once (one window over the
 src-partitioned cached edges) and each step is a co-partitioned equi join of

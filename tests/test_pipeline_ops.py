@@ -324,3 +324,25 @@ def test_ivf_topk_recall(spark, vectors):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert approx.columns == exact.columns
     assert len(e & a) / len(e) >= 0.75
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """The 100 TB cardinality path (approx_count_distinct, HLL++): per-type
+    estimates within 3x the default 5% relative error of the exact counts
+    (the exact twin is the oracled user_cardinality query)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(3, 0.15 * n), (t, n, approx[t])
