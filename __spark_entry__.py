@@ -300,6 +300,25 @@ BFS_SOURCES = 4
 BFS_DEPTH = 6
 
 
+N2V_BIASES = (1, 4, 8)  # (return, near, far) ≙ p=4, q=1/2 — exploration bias
+
+
+def q_node2vec_walks(spark, sf):
+    """SECOND-ORDER biased walk corpus (full node2vec): transition weight =
+    edge weight × integer bias chosen by the previous vertex (return /
+    neighbor-of-prev / far — (1,4,8) ≙ p=4, q=1/2). All-integer cumulative
+    ranges + seeded-md5 choice, so the DuckDB twin replays every hop
+    (operator: graftlouvain/operators/walks.py::node2vec_walks)."""
+    from graftlouvain.operators.walks import node2vec_walks
+
+    br, bn, bf = N2V_BIASES
+    return node2vec_walks(
+        _part_graph(spark, sf), length=WALK_LEN,
+        walks_per_vertex=WALKS_PER_VERTEX, seed=42,
+        bias_return=br, bias_near=bn, bias_far=bf, scale=1,
+    ).select("walk_id", "step", "vertex")
+
+
 def q_bfs_distances(spark, sf):
     """Multi-source BFS over the part graph: shortest hop-distance from 4
     deterministically-sampled sources (smallest md5(id)) to every vertex
@@ -933,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "walk_pairs": q_walk_pairs,
         "weighted_walks": q_weighted_walks,
+        "node2vec_walks": q_node2vec_walks,
         "bfs_distances": q_bfs_distances,
         "sssp_distances": q_sssp_distances,
         "topk_edges": q_topk_edges,
@@ -1156,6 +1176,57 @@ GROUP BY 1, 2"""
 _NATION_INIT = """
   SELECT n.id, n.community, d.degree AS k_i
   FROM nation n JOIN deg d ON d.id = n.id"""
+
+
+def _node2vec_sql(
+    length: int, wpv: int, seed: int, br: int, bn: int, bf: int
+) -> str:
+    """DuckDB twin of ``q_node2vec_walks``: identical quantized edge
+    weights, identical (return/near/far) integer bias via a LEFT probe of
+    the (prev, dst) edge, identical per-walk cumulative ranges (ascending
+    dst) and seeded-md5 choice, unrolled ``length`` steps."""
+    ws = ", ".join(str(w) for w in range(wpv))
+    ctes = [f"""nw AS (
+  SELECT src, dst, CAST(ROUND(weight) AS BIGINT) AS wq FROM psym
+),
+n2s0 AS MATERIALIZED (
+  SELECT d.id * {wpv} + w.w AS walk_id, d.id AS prev, d.id AS cur
+  FROM pdeg d CROSS JOIN (SELECT UNNEST([{ws}]) AS w) w
+)"""]
+    for t in range(1, length + 1):
+        h = (
+            f"CAST('0x' || SUBSTR(md5('n2v:{seed}:' || CAST(walk_id AS VARCHAR)"
+            f" || ':{t}:' || CAST(src AS VARCHAR)), 1, 15) AS BIGINT)"
+        )
+        ctes.append(f"""c{t} AS (
+  SELECT s.walk_id, s.prev, s.cur AS src, n.dst,
+         n.wq * CASE WHEN n.dst = s.prev THEN {br}
+                     WHEN e2.src IS NOT NULL THEN {bn}
+                     ELSE {bf} END AS ew
+  FROM n2s{t - 1} s
+  JOIN nw n ON n.src = s.cur
+  LEFT JOIN psym e2 ON e2.src = s.prev AND e2.dst = n.dst
+),
+r{t} AS (
+  SELECT walk_id, src, dst, ew,
+         SUM(ew) OVER (PARTITION BY walk_id ORDER BY dst
+                       ROWS UNBOUNDED PRECEDING) AS chi,
+         SUM(ew) OVER (PARTITION BY walk_id) AS tot
+  FROM c{t}
+),
+n2s{t} AS MATERIALIZED (
+  SELECT walk_id, src AS prev, dst AS cur
+  FROM r{t}
+  WHERE ({h} % tot) >= chi - ew AND ({h} % tot) < chi
+)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM n2s{t}"
+        for t in range(length + 1)
+    )
+    return (
+        "WITH " + _PART_EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)
+        + "\n" + selects
+    )
 
 
 def _bfs_ctes(n_sources: int, depth: int) -> str:
@@ -1792,6 +1863,10 @@ GROUP BY 1, 2"""
     sql["walk_pairs"] = _walk_pairs_sql(WALK_LEN, WALKS_PER_VERTEX, 42, WALK_WINDOW)
 
     sql["weighted_walks"] = _weighted_walks_sql(WALK_LEN, WALKS_PER_VERTEX, 42)
+
+    sql["node2vec_walks"] = _node2vec_sql(
+        WALK_LEN, WALKS_PER_VERTEX, 42, *N2V_BIASES
+    )
 
     sql["bfs_distances"] = _bfs_sql(BFS_SOURCES, BFS_DEPTH)
 

@@ -220,6 +220,114 @@ def weighted_random_walks(
     return _union_frames(frames, caches, eager)
 
 
+def node2vec_walks(
+    graph: LinkGraph,
+    length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    bias_return: int = 1,
+    bias_near: int = 4,
+    bias_far: int = 8,
+    scale: int = 1,
+    eager: bool = True,
+) -> DataFrame:
+    """[walk_id, step, vertex] — SECOND-ORDER biased walks (node2vec, Grover
+    & Leskovec 2016 §3.2): candidate (cur → dst) weights are multiplied by
+    an INTEGER bias depending on the previous vertex —
+
+        dst == prev              → bias_return   (α = 1/p)
+        edge (prev, dst) exists  → bias_near     (α = 1)
+        otherwise                → bias_far      (α = 1/q)
+
+    (scale the rational node2vec α's by any common multiple to get the
+    integer triple; the defaults (1, 4, 8) model p=4, q=1/2 — an
+    exploration-biased DFS-ish walk, visibly different from the first-order
+    :func:`weighted_random_walks`). The hop lands x = md5-hash mod Σ(w·bias)
+    in one candidate's cumulative range — all integer arithmetic, so the
+    walk is a pure function of (graph, seed) and the DuckDB twin replays it
+    exactly.
+
+    Start state sets prev = start vertex, which degrades the first hop to
+    the first-order weighted choice (every candidate is a neighbor of prev
+    by construction; the self-loop, if any, takes bias_return) —
+    documented, deterministic, replicated by the twin.
+
+    Per-step cost: the frontier joins its adjacency (Σ deg(frontier) rows),
+    a LEFT probe against the edge set for the (prev, dst) existence flag,
+    and a per-walk window cumsum — the standard price of second-order
+    sampling without per-(prev, cur) alias tables."""
+    nbrs = indexed_neighbors_weighted(graph, scale).select(
+        "src", "dst", (F.col("hi") - F.col("lo")).alias("wq")
+    )
+    eset = graph.edges.select(
+        F.col("src").alias("_ep"), F.col("dst").alias("_ed"), F.lit(1).alias("_near")
+    )
+    start = graph.vertices.select(
+        F.explode(
+            F.array(*[
+                (F.col("id") * F.lit(walks_per_vertex) + F.lit(w)).alias(f"w{w}")
+                for w in range(walks_per_vertex)
+            ])
+        ).alias("walk_id"),
+        F.col("id").alias("prev"),
+        F.col("id").alias("cur"),
+    )
+    frames = [
+        start.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
+    ]
+    caches: list = []
+    state = start
+    w_cum = Window.partitionBy("walk_id").orderBy("dst").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("walk_id")
+    for t in range(1, length + 1):
+        cands = (
+            state.select("walk_id", "prev", F.col("cur").alias("src"))
+            .join(nbrs, "src")
+            .join(
+                eset,
+                (F.col("prev") == F.col("_ep")) & (F.col("dst") == F.col("_ed")),
+                "left",
+            )
+        )
+        m = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(bias_return))
+            .when(F.col("_near").isNotNull(), F.lit(bias_near))
+            .otherwise(F.lit(bias_far))
+        )
+        scored = cands.select(
+            "walk_id", "prev", "src", "dst", (F.col("wq") * m).alias("ew")
+        )
+        tag = F.concat_ws(
+            ":",
+            F.lit(f"n2v:{seed}"),
+            F.col("walk_id").cast("string"),
+            F.lit(str(t)),
+            F.col("src").cast("string"),
+        )
+        ranged = scored.select(
+            "walk_id", "src", "dst", "ew",
+            F.sum("ew").over(w_cum).alias("chi"),
+            F.sum("ew").over(w_all).alias("tot"),
+        ).withColumn("x", _choice_hash(tag) % F.col("tot"))
+        state = (
+            ranged.where(
+                (F.col("x") >= F.col("chi") - F.col("ew")) & (F.col("x") < F.col("chi"))
+            )
+            .select("walk_id", F.col("src").alias("prev"), F.col("dst").alias("cur"))
+        )
+        if eager:
+            state = state.cache()
+            caches.append(state)
+        frames.append(
+            state.select(
+                "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
+            )
+        )
+    return _union_frames(frames, caches, eager)
+
+
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """[center, context, weight] — skip-gram co-occurrence pairs within
     ±``window`` steps of the same walk, weight = occurrence count: the

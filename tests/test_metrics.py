@@ -269,3 +269,36 @@ def test_sssp_weighted_shortcut(spark):
     bfs = {(r["seed"], r["id"]): r["dist"] for r in bfs_distances(k, s, 6).collect()}
     sssp = {(r["seed"], r["id"]): r["dist"] for r in sssp_distances(k, s, 6).collect()}
     assert {kk: float(v) for kk, v in bfs.items()} == sssp
+
+
+def test_node2vec_bias_drives_exploration(spark):
+    """Second-order bias works: on the path 0-1-2 the step after 0->1 picks
+    between returning to 0 (bias_return) and advancing to 2 (bias_far —
+    vertex 2 is not a neighbor of prev=0). With bias_far=200 vs
+    bias_return=1, >= 90 of 100 walks starting at 0 advance; with the
+    biases swapped, >= 90 return. Hops always follow real edges and runs
+    are deterministic."""
+    from graftlouvain.operators.walks import node2vec_walks
+
+    g = LinkGraph.from_edges(to_df(spark, [(0, 1, 1.0), (1, 2, 1.0)]))
+
+    def second_hops(bret, bfar):
+        w = node2vec_walks(
+            g, length=2, walks_per_vertex=100, seed=42,
+            bias_return=bret, bias_near=1, bias_far=bfar,
+        )
+        rows = {(r["walk_id"], r["step"]): r["vertex"] for r in w.collect()}
+        edge_set = {(r["src"], r["dst"]) for r in g.edges.collect()}
+        for (wid, s), v in rows.items():
+            if s > 0:
+                assert (rows[(wid, s - 1)], v) in edge_set
+        return [
+            rows[(wid, 2)]
+            for (wid, s), v in rows.items()
+            if s == 0 and v == 0 and rows[(wid, 1)] == 1
+        ]
+
+    advance = second_hops(1, 200)
+    assert len(advance) == 100 and advance.count(2) >= 90
+    retreat = second_hops(200, 1)
+    assert retreat.count(0) >= 90
