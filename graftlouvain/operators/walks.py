@@ -35,11 +35,11 @@ from pyspark.sql import functions as F
 from graftlouvain.operators.graph import LinkGraph
 
 
-def _union_frames(frames: list, caches: list, eager: bool) -> DataFrame:
+def _union_frames(frames: list, eager: bool) -> DataFrame:
     """Union the per-step output frames; in eager mode pin the result with
-    ``materialize`` (one pass — each frame reads its step's cache, computed
-    once) and release the step caches immediately (the minhash shared-cache
-    pattern: the checkpointed result is independent storage)."""
+    ``materialize`` (each frame is a projection of its step's already-
+    checkpointed state, so the union is one cheap pass; the intermediate
+    step checkpoints become garbage once this result exists)."""
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -47,8 +47,6 @@ def _union_frames(frames: list, caches: list, eager: bool) -> DataFrame:
         from graftlouvain.functions.iterate import materialize
 
         out = materialize(out)
-        for c in caches:
-            c.unpersist()
     return out
 
 
@@ -84,16 +82,23 @@ def random_walks(
     walk_id = vertex_id · walks_per_vertex + w). Every vertex in a LinkGraph
     has ≥ 1 neighbor (possibly its self-loop), so walks never strand.
 
-    ``eager`` (default) caches each step's frontier and pins the final
-    union with ``materialize`` before releasing the caches: the per-step
-    output frames SHARE the walk chain's lineage, and Spark inlines
-    deterministic multi-referenced subplans (the superstep-batching lesson),
-    so a lazy plan re-executes step k's joins (length − k + 1) times —
-    quadratic in walk length where the chain is linear. DeepWalk-scale
-    lengths (40+) make that the difference between L and L²/2 frontier
-    joins. ``eager=False`` returns the lazy (recompute-prone) plan for
-    callers that compose further before one single action."""
+    ``eager`` (default) MATERIALIZES each step's frontier (localCheckpoint +
+    truthful planner statistics — the superstep loop's state hygiene) and
+    pins the final union. Two pathologies force this, both rediscovered the
+    hard way on this operator (BENCH/BASELINE.md §8): a lazy chain's
+    per-step output frames share lineage and Spark inlines deterministic
+    multi-referenced subplans, so step k re-executes (length − k + 1) times
+    — quadratic in walk length; and a mere per-step ``cache()`` fixes the
+    recompute but NOT the lineage/statistics growth, which melts the driver
+    in plan optimization by L≈16 (the iterate.py statistics-snowball
+    landmine). The neighbor index is checkpointed once and shared by every
+    hop. ``eager=False`` returns the lazy (recompute-prone) plan for
+    callers that compose a SHORT chain further before one single action."""
+    from graftlouvain.functions.iterate import materialize
+
     nbrs = indexed_neighbors(graph)
+    if eager:
+        nbrs = materialize(nbrs)
     deg = graph.degrees.select(
         F.col("id").alias("cur"), F.col("out_degree").alias("cur_deg")
     )
@@ -109,7 +114,6 @@ def random_walks(
     frames = [
         start.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
     ]
-    caches: list = []
     state = start
     for t in range(1, length + 1):
         tag = F.concat_ws(
@@ -127,14 +131,13 @@ def random_walks(
             "walk_id", F.col("dst").alias("cur"), F.col("dst_deg").alias("cur_deg")
         )
         if eager:
-            state = state.cache()
-            caches.append(state)
+            state = materialize(state)
         frames.append(
             state.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
             )
         )
-    return _union_frames(frames, caches, eager)
+    return _union_frames(frames, eager)
 
 
 def indexed_neighbors_weighted(graph: LinkGraph, scale: int = 1) -> DataFrame:
@@ -172,9 +175,14 @@ def weighted_random_walks(
     on the current vertex with the range predicate as a post-filter — per
     step it materializes frontier-adjacent edge rows (O(Σ deg(frontier))),
     the standard cost of weighted sampling without per-vertex alias tables.
-    ``eager``: same per-step caching as :func:`random_walks` (without it the
-    shared chain lineage re-executes quadratically in walk length)."""
+    ``eager``: same per-step materialization as :func:`random_walks` (see
+    its docstring for why a lazy chain is quadratic and a cache-only chain
+    melts the planner)."""
+    from graftlouvain.functions.iterate import materialize
+
     nbrs = indexed_neighbors_weighted(graph, scale)
+    if eager:
+        nbrs = materialize(nbrs)
     tot = nbrs.groupBy("src").agg(F.max("hi").alias("totw")).select(
         F.col("src").alias("cur"), F.col("totw").alias("cur_totw")
     )
@@ -190,7 +198,6 @@ def weighted_random_walks(
     frames = [
         start.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
     ]
-    caches: list = []
     state = start
     for t in range(1, length + 1):
         tag = F.concat_ws(
@@ -210,14 +217,13 @@ def weighted_random_walks(
             "walk_id", F.col("dst").alias("cur"), F.col("dst_totw").alias("cur_totw")
         )
         if eager:
-            state = state.cache()
-            caches.append(state)
+            state = materialize(state)
         frames.append(
             state.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
             )
         )
-    return _union_frames(frames, caches, eager)
+    return _union_frames(frames, eager)
 
 
 def node2vec_walks(
@@ -255,10 +261,15 @@ def node2vec_walks(
     Per-step cost: the frontier joins its adjacency (Σ deg(frontier) rows),
     a LEFT probe against the edge set for the (prev, dst) existence flag,
     and a per-walk window cumsum — the standard price of second-order
-    sampling without per-(prev, cur) alias tables."""
+    sampling without per-(prev, cur) alias tables. ``eager``: per-step
+    materialization (see :func:`random_walks`)."""
+    from graftlouvain.functions.iterate import materialize
+
     nbrs = indexed_neighbors_weighted(graph, scale).select(
         "src", "dst", (F.col("hi") - F.col("lo")).alias("wq")
     )
+    if eager:
+        nbrs = materialize(nbrs)
     eset = graph.edges.select(
         F.col("src").alias("_ep"), F.col("dst").alias("_ed"), F.lit(1).alias("_near")
     )
@@ -275,7 +286,6 @@ def node2vec_walks(
     frames = [
         start.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
     ]
-    caches: list = []
     state = start
     w_cum = Window.partitionBy("walk_id").orderBy("dst").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -318,14 +328,13 @@ def node2vec_walks(
             .select("walk_id", F.col("src").alias("prev"), F.col("dst").alias("cur"))
         )
         if eager:
-            state = state.cache()
-            caches.append(state)
+            state = materialize(state)
         frames.append(
             state.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
             )
         )
-    return _union_frames(frames, caches, eager)
+    return _union_frames(frames, eager)
 
 
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
