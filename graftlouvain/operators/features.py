@@ -18,9 +18,11 @@ the whole class (same device as the weighted-walk cumulative ranges).
 Spark shape per round: one edges⋈features join (features broadcast-or-
 co-partitioned on dst), posexplode over the feature array (E·d rows — the
 standard GNN propagation cost), one (src, pos) aggregation with map-side
-partial sums, one collect-to-array. Rounds materialize via per-round caches
-released at the end, so the chain is linear work (the walk-operator lesson:
-Spark inlines multi-referenced deterministic subplans).
+partial sums. Each round's state is MATERIALIZED (localCheckpoint +
+truthful planner statistics — the superstep/walk-chain hygiene): a lazy
+chain re-executes under subplan inlining and a cache-only chain leaves
+lineage/statistics growing until the planner melts at depth (measured on
+the walk operators, BENCH/BASELINE.md §8).
 """
 
 from __future__ import annotations
@@ -43,6 +45,8 @@ def feature_smooth(
     a row per dimension; a vertex's new value is the weighted-mean (integer
     div) of its NEIGHBORS' values — self excluded unless a self-loop edge
     exists, matching the plain D⁻¹A propagation."""
+    from graftlouvain.functions.iterate import materialize
+
     edges = graph.edges.select(
         "src", "dst", F.col("weight").cast("long").alias("w")
     )
@@ -50,24 +54,17 @@ def feature_smooth(
         F.col(id_col).alias("dst"),
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
     )
-    caches = []
     for _ in range(rounds):
         joined = edges.join(feat, "dst")
         agg = joined.groupBy("src", "pos").agg(
             F.sum(F.col("w") * F.col("x")).alias("num"),
             F.sum("w").alias("den"),
         )
-        feat = agg.select(
-            F.col("src").alias("dst"),
-            "pos",
-            F.expr("num div den").alias("x"),
+        feat = materialize(
+            agg.select(
+                F.col("src").alias("dst"),
+                "pos",
+                F.expr("num div den").alias("x"),
+            )
         )
-        feat = feat.cache()
-        caches.append(feat)
-    out = feat.select(F.col("dst").alias("id"), "pos", F.col("x").alias("val"))
-    from graftlouvain.functions.iterate import materialize
-
-    out = materialize(out)
-    for c in caches:
-        c.unpersist()
-    return out
+    return feat.select(F.col("dst").alias("id"), "pos", F.col("x").alias("val"))
