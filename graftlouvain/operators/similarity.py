@@ -237,9 +237,17 @@ def ivf_cells(
             .select("cell", F.transform("pm", lambda s: s["m"]).alias("cv"))
         )
         # spherical k-means: normalize so the cosine argmax is the mean's
-        # direction; empty cells simply drop out (standard Lloyd behavior)
-        centroids = means.select(
-            "cell", F.transform("cv", lambda x: x / _norm(F.col("cv"))).alias("cv")
+        # direction; empty cells simply drop out (standard Lloyd behavior).
+        # Each pass MATERIALIZES its centroids (localCheckpoint + truthful
+        # stats — the iterative-chain hygiene of BENCH/BASELINE.md §8):
+        # without it the Lloyd chain's lineage and planner statistics grow
+        # per pass and deep refinements melt the optimizer.
+        from graftlouvain.functions.iterate import materialize
+
+        centroids = materialize(
+            means.select(
+                "cell", F.transform("cv", lambda x: x / _norm(F.col("cv"))).alias("cv")
+            )
         )
         assigned = assign(centroids)
     return centroids, assigned
