@@ -1305,12 +1305,19 @@ f0 AS (
   FROM pf CROSS JOIN (SELECT UNNEST([{poss}]) AS pos) p
 )"""]
     for t in range(1, rounds + 1):
-        ctes.append(f"""f{t} AS MATERIALIZED (
+        # carry semantics: vertices with no feature-bearing neighbor this
+        # round keep their previous value (left join + COALESCE), mirroring
+        # feature_smooth's constant state domain
+        ctes.append(f"""a{t} AS (
   SELECT e.src AS dst, f.pos,
          CAST(CAST(SUM(CAST(e.weight AS BIGINT) * f.x) AS BIGINT)
-              // CAST(SUM(CAST(e.weight AS BIGINT)) AS BIGINT) AS BIGINT) AS x
+              // CAST(SUM(CAST(e.weight AS BIGINT)) AS BIGINT) AS BIGINT) AS x2
   FROM psym e JOIN f{t - 1} f ON f.dst = e.dst
   GROUP BY 1, 2
+),
+f{t} AS MATERIALIZED (
+  SELECT f.dst, f.pos, COALESCE(a.x2, f.x) AS x
+  FROM f{t - 1} f LEFT JOIN a{t} a ON a.dst = f.dst AND a.pos = f.pos
 )""")
     return (
         "WITH " + _PART_EDGES_CTE.strip() + ",\n" + ",\n".join(ctes)

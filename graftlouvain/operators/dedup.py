@@ -48,18 +48,28 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+_SPREAD_MAX_BYTES = 32 * 1024 * 1024
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small-input parallelism guard: a small parquet scan arrives as 1-2
-    partitions, which serializes the gram/token EXPLODE — the dominant map
-    work of every text-dedup operator — onto one core (measured at sf0.1:
-    the gram stage alone 4.5-6.5 s single-partition vs 0.6-0.9 s spread,
-    the whole-input scan being ~1.5 MB). Round-robin repartition to the
-    session's default parallelism whenever the scan has fewer partitions; at
-    real scale the scan already carries >= cores partitions and this is a
-    NO-OP (no shuffle added — the guard is what makes it scale-safe). Output
-    is row-identical: everything downstream is an aggregation."""
+    partitions (tiny files can't split below row-group granularity), which
+    serializes the gram/token EXPLODE — the dominant map work of every
+    text-dedup operator — onto one core (measured at sf0.1: the gram stage
+    alone 4.5-6.5 s single-partition vs 0.6-0.9 s spread, the whole-input
+    scan being ~1.5 MB). Round-robin repartition to the session's default
+    parallelism whenever the optimizer's size estimate for the input is
+    under 32 MB; at real scale the estimate is huge and this is a NO-OP
+    (no shuffle added — the guard is what makes it scale-safe). The size
+    comes from the LOGICAL PLAN's statistics (sum of scan file sizes), not
+    from partition counting: reading ``df.rdd`` would force a plan-to-RDD
+    conversion per call. Inputs between 32 MB and cores×maxPartitionBytes
+    need no guard either way — Spark's own ``minPartitionNum`` split sizing
+    already spreads splittable scans to ~defaultParallelism partitions.
+    Output is row-identical: everything downstream is an aggregation."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    if size < _SPREAD_MAX_BYTES:
         return df.repartition(target)
     return df
 
@@ -151,19 +161,37 @@ def ngram_jaccard_pairs(
     size — a conservative (recall-lowering, precision-keeping) approximation
     applied identically in the SQL oracle.
 
-    Pair generation is ONE groupBy(gram).collect_list + a JVM pair explosion
-    (:func:`_pairs_of_sorted`) over the ≤``max_doc_freq``-sized groups —
-    the r3 formulation (df-count aggregation, rare semi-join, then a gram
-    self-join) shuffled the E-row gram table three more times for the
-    identical pair multiset; the df cap bounds every group's array and its
-    quadratic expansion. Output is row-identical (same per-gram pair
-    contributions, no floats involved), so the SQL oracle is unchanged."""
+    Pair generation is a df-count pre-filter followed by ONE
+    groupBy(gram).collect_list + a JVM pair explosion
+    (:func:`_pairs_of_sorted`): the count aggregate is map-side combinable
+    (tiny partial state even for a gram present in every doc), and the
+    left_semi join removes hot grams BEFORE any doc-id array is collected —
+    so the df cap genuinely bounds every collected group's array and its
+    quadratic expansion. Collecting first and filtering by ``size(ids)``
+    after would be one shuffle cheaper but materializes the full doc-id
+    array of every hot gram (e.g. a whitespace 5-gram present in nearly the
+    whole corpus) inside a single reducer task before discarding it —
+    a collect_list skew OOM at scale (the size filter cannot be pushed
+    below the aggregation). The semi join re-shuffles the gram table on
+    the same key the collect_list groups by, so the second shuffle's
+    partitioning is reused. Output is row-identical to the unfiltered
+    formulation (same per-gram pair contributions, no floats involved),
+    so the SQL oracle is unchanged."""
     grams = doc_ngrams(docs, id_col, text_col, n)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    groups = grams.groupBy("gram").agg(F.collect_list("doc_id").alias("ids"))
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))
+        .select("gram")
+    )
+    groups = (
+        grams.join(rare, "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.collect_list("doc_id").alias("ids"))
+    )
     pairs = (
-        groups.where((F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq))
-        .select(F.explode(_pairs_of_sorted(F.array_sort("ids"))).alias("p"))
+        groups.select(F.explode(_pairs_of_sorted(F.array_sort("ids"))).alias("p"))
         .select("p.a", "p.b")
     )
     inter = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))

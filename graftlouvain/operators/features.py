@@ -44,7 +44,18 @@ def feature_smooth(
     integer feature vectors (``features``: [id, array<long>]). Vertices keep
     a row per dimension; a vertex's new value is the weighted-mean (integer
     div) of its NEIGHBORS' values — self excluded unless a self-loop edge
-    exists, matching the plain D⁻¹A propagation."""
+    exists, matching the plain D⁻¹A propagation.
+
+    State-domain contract: the output id set EQUALS the input feature id
+    set at every round. A vertex none of whose neighbors carry features
+    this round (including isolated / off-graph ids) KEEPS its previous
+    value — a per-round left join against the prior state, not an inner
+    join that would silently shrink the vertex set round over round.
+
+    Integer-division note: ``num div den`` truncates toward zero in Spark,
+    and DuckDB's integer ``//`` does the SAME (−7 // 2 = −3 in both) — so
+    the bit-identical cross-engine claim holds for NEGATIVE features too
+    (pinned by tests/test_features.py's negative-feature case)."""
     from graftlouvain.functions.iterate import materialize
 
     edges = graph.edges.select(
@@ -60,11 +71,14 @@ def feature_smooth(
             F.sum(F.col("w") * F.col("x")).alias("num"),
             F.sum("w").alias("den"),
         )
+        smoothed = agg.select(
+            F.col("src").alias("dst"),
+            "pos",
+            F.expr("num div den").alias("x2"),
+        )
         feat = materialize(
-            agg.select(
-                F.col("src").alias("dst"),
-                "pos",
-                F.expr("num div den").alias("x"),
+            feat.join(smoothed, ["dst", "pos"], "left").select(
+                "dst", "pos", F.coalesce("x2", "x").alias("x")
             )
         )
     return feat.select(F.col("dst").alias("id"), "pos", F.col("x").alias("val"))

@@ -274,6 +274,11 @@ def _superstep_exprs(S: float, gain_eps: float) -> dict:
     got = _SS_EXPRS.get(key)
     if got is not None:
         return got
+    # evict entries built against OTHER applications on miss: their Column
+    # handles pin py4j JavaObjects of dead gateways for the process lifetime
+    # (restart-heavy test runs would otherwise grow this dict unboundedly)
+    for k in [k for k in _SS_EXPRS if k[0] != app]:
+        del _SS_EXPRS[k]
     if len(_SS_EXPRS) > 64:  # one entry per (graph, eps) — bound test churn
         _SS_EXPRS.clear()
     c = F.col

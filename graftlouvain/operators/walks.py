@@ -140,6 +140,21 @@ def random_walks(
     return _union_frames(frames, eager)
 
 
+def _require_positive_totw(totals: DataFrame, totw_col: str, op: str) -> None:
+    """Fail loudly when quantization zeroed out a vertex: if EVERY edge of
+    some vertex rounds to weight 0, its range total is 0, the hop modulus is
+    NULL, and the range filter would silently drop the walk mid-corpus —
+    missing rows with no error. One tiny aggregate over the (materialized)
+    neighbor index; callers with sub-unit float weights must raise ``scale``."""
+    bad = totals.where(F.col(totw_col) <= 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"{op}: vertex {bad[0][0]} has total quantized weight 0 — every "
+            "incident edge weight rounds to 0 at the current `scale`; raise "
+            "`scale` so sub-unit float weights survive round(weight*scale)"
+        )
+
+
 def indexed_neighbors_weighted(graph: LinkGraph, scale: int = 1) -> DataFrame:
     """[src, lo, hi, dst, dst_totw]: per-src cumulative QUANTIZED-weight
     ranges in ascending dst order (lo inclusive, hi exclusive), plus the
@@ -147,7 +162,11 @@ def indexed_neighbors_weighted(graph: LinkGraph, scale: int = 1) -> DataFrame:
     hop choice. Weights are quantized to integers (``round(weight·scale)``)
     so the cumulative sums — and hence the sampled hop — are EXACT in both
     engines (float cumsums would round differently and flip boundary picks);
-    for integer-valued weights (co-change counts) scale=1 loses nothing."""
+    for integer-valued weights (co-change counts) scale=1 loses nothing.
+    Individual edges that quantize to 0 get an empty range (lo == hi) and
+    are deterministically unreachable — same in both engines; a vertex whose
+    EVERY edge quantizes to 0 is an error the walk callers raise on
+    (:func:`_require_positive_totw`)."""
     w = Window.partitionBy("src").orderBy("dst").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -175,6 +194,9 @@ def weighted_random_walks(
     on the current vertex with the range predicate as a post-filter — per
     step it materializes frontier-adjacent edge rows (O(Σ deg(frontier))),
     the standard cost of weighted sampling without per-vertex alias tables.
+    Callers with sub-unit FLOAT weights must raise ``scale`` so weights
+    survive quantization — a vertex whose every edge rounds to 0 raises
+    (``eager=True``; see :func:`_require_positive_totw`).
     ``eager``: same per-step materialization as :func:`random_walks` (see
     its docstring for why a lazy chain is quadratic and a cache-only chain
     melts the planner)."""
@@ -186,6 +208,8 @@ def weighted_random_walks(
     tot = nbrs.groupBy("src").agg(F.max("hi").alias("totw")).select(
         F.col("src").alias("cur"), F.col("totw").alias("cur_totw")
     )
+    if eager:
+        _require_positive_totw(tot, "cur_totw", "weighted_random_walks")
     start = graph.vertices.select(
         F.explode(
             F.array(*[
@@ -262,7 +286,9 @@ def node2vec_walks(
     a LEFT probe against the edge set for the (prev, dst) existence flag,
     and a per-walk window cumsum — the standard price of second-order
     sampling without per-(prev, cur) alias tables. ``eager``: per-step
-    materialization (see :func:`random_walks`)."""
+    materialization (see :func:`random_walks`). Callers with sub-unit FLOAT
+    weights must raise ``scale`` — a vertex whose every edge quantizes to 0
+    raises up front (``eager=True``; :func:`_require_positive_totw`)."""
     from graftlouvain.functions.iterate import materialize
 
     nbrs = indexed_neighbors_weighted(graph, scale).select(
@@ -270,6 +296,14 @@ def node2vec_walks(
     )
     if eager:
         nbrs = materialize(nbrs)
+        # biases are >= 1, so the per-step modulus Σ(wq·bias) is 0 iff the
+        # vertex's raw quantized total is 0 — one up-front check covers all
+        # steps
+        _require_positive_totw(
+            nbrs.groupBy("src").agg(F.sum("wq").alias("totw")),
+            "totw",
+            "node2vec_walks",
+        )
     eset = graph.edges.select(
         F.col("src").alias("_ep"), F.col("dst").alias("_ed"), F.lit(1).alias("_near")
     )

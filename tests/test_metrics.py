@@ -252,6 +252,60 @@ def test_feature_smooth_matches_hand_computation(spark):
     assert got2[(0, 0)] == 16 and got2[(1, 0)] == 20 and got2[(2, 0)] == 16
 
 
+def test_feature_smooth_carry_and_negative_cross_engine(spark):
+    """(a) A vertex with no feature-bearing neighbors (here: off-graph id 99)
+    KEEPS its prior value every round — the state domain never shrinks.
+    (b) NEGATIVE features divide identically in Spark (`div`, truncate
+    toward zero) and DuckDB (integer `//`, also truncate: −14 // 3 = −4) —
+    the cross-engine-exact claim holds below zero, pinned here against a
+    live DuckDB twin of the same left-join-carry round."""
+    import duckdb
+
+    from graftlouvain.operators.features import feature_smooth
+
+    g = LinkGraph.from_edges(to_df(spark, [(0, 1, 2.0), (1, 2, 1.0)]))
+    feats = spark.createDataFrame(
+        [(0, [-9]), (1, [-7]), (2, [4]), (99, [42])], "id long, q array<long>"
+    )
+    got = {
+        (r["id"], r["pos"]): r["val"]
+        for r in feature_smooth(g, feats, rounds=1).collect()
+    }
+    # v1: (2·−9 + 1·4) div 3 = −14 div 3 = −4 (truncation; floor would be −5)
+    assert got == {(0, 0): -7, (1, 0): -4, (2, 0): -7, (99, 0): 42}
+    twin = duckdb.sql("""
+        WITH e(src, dst, w) AS (VALUES (0,1,2),(1,0,2),(1,2,1),(2,1,1)),
+        f0(dst, pos, x) AS (VALUES (0,0,-9),(1,0,-7),(2,0,4),(99,0,42)),
+        a1 AS (
+          SELECT e.src AS dst, f.pos,
+                 CAST(CAST(SUM(e.w * f.x) AS BIGINT)
+                      // CAST(SUM(e.w) AS BIGINT) AS BIGINT) AS x2
+          FROM e JOIN f0 f ON f.dst = e.dst GROUP BY 1, 2
+        )
+        SELECT f.dst, f.pos, COALESCE(a.x2, f.x) AS x
+        FROM f0 f LEFT JOIN a1 a ON a.dst = f.dst AND a.pos = f.pos
+    """).fetchall()
+    assert {(d, p): x for d, p, x in twin} == got
+
+
+def test_weighted_walk_zero_weight_guard(spark):
+    """A vertex whose every edge quantizes to weight 0 raises up front with
+    the raise-`scale` guidance (instead of silently dropping walks), and
+    raising `scale` as instructed makes the same input walk fine."""
+    import pytest as _pytest
+
+    from graftlouvain.operators.walks import (
+        node2vec_walks, weighted_random_walks)
+
+    g = LinkGraph.from_edges(to_df(spark, [(0, 1, 0.2), (1, 2, 1.0)]))
+    with _pytest.raises(ValueError, match="scale"):
+        weighted_random_walks(g, length=2, scale=1)
+    with _pytest.raises(ValueError, match="scale"):
+        node2vec_walks(g, length=2, scale=1)
+    walks = weighted_random_walks(g, length=2, scale=10)
+    assert walks.where("step = 2").count() == 3  # no walk lost
+
+
 def test_sssp_weighted_shortcut(spark):
     """Weighted relaxation takes the cheaper two-hop path: with edges
     (0-1 w10, 0-2 w1, 2-1 w2), dist(0,1) = 3 via vertex 2 — not the direct
