@@ -43,7 +43,13 @@ def main():
         walls, ss = [], None
         for _ in range(runs):
             t0 = time.monotonic()
-            res = louvain(g, min_moves_frac=0.02, batch_supersteps=batch)
+            # pinned to gate_mode="parity": batching composes the even/odd
+            # pair, so the r5 conflict default would force batch=1 and make
+            # this A/B compare identical runs
+            res = louvain(
+                g, min_moves_frac=0.02, batch_supersteps=batch,
+                gate_mode="parity",
+            )
             shas[batch] = label_sha(res.assignments)
             walls.append(round(time.monotonic() - t0, 2))
             ss = sum(l.supersteps for l in res.levels)

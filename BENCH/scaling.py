@@ -34,8 +34,15 @@ from graftlouvain.operators.louvain import louvain
 
 cpus = int(sys.argv[1])
 edges_path = sys.argv[2]
-spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=cpus)
+master = sys.argv[3] if len(sys.argv) > 3 else f"local[{cpus}]"
+extra = {}
+if master.startswith("local-cluster"):
+    # per-executor memory must fit the bracket's per-worker MiB; separate
+    # JVMs mean the 24g local-mode driver heap is not shared with executors
+    mem_mib = int(master.rstrip("]").split(",")[-1])
+    extra["spark.executor.memory"] = f"{max(mem_mib - 1024, 1024)}m"
+spark = get_spark(app_name=f"scaling-{cpus}", master=master,
+                  shuffle_partitions=cpus, extra_conf=extra)
 raw = spark.read.parquet(edges_path)
 t0 = time.monotonic()
 g = LinkGraph.from_edges(raw, num_partitions=cpus)

@@ -448,3 +448,128 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# -- substring-level exact dedup + benchmark decontamination -----------------
+#
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate EXACT SUBSTRINGS shared across documents, not whole
+# documents — the one training-data dedup family the whole-doc paths above
+# cannot express. The suffix-array formulation is inherently sequential; the
+# Spark shape is positional token shingles: every length-n token window gets
+# an md5 key + its 0-based start position, matched windows are joined by key
+# (bucketed — never all-pairs), and runs of adjacent matches are merged into
+# maximal spans with one window over the matched rows only.
+
+
+def token_shingles(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[doc_id, pos, h] — md5 of each n-token window (whitespace tokens,
+    ``textstats.WS_RE`` char class so Spark and SQL oracles split
+    identically), pos = 0-based token index of the window start. Documents
+    shorter than n tokens yield no rows. JVM-only (regexp_replace + split +
+    transform/slice) — no Python in the hot path."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), _WS_RE, " ")), " ")
+    t = _spread(docs.select(F.col(id_col).alias("doc_id"), toks.alias("t")))
+    return (
+        t.where(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}), "
+                    f"i -> struct(CAST(i AS BIGINT) AS pos, "
+                    f"md5(array_join(slice(t, i + 1, {n}), ' ')) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    n: int = 8,
+    max_doc_freq: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (Lee et al. 2021 family):
+    [doc_a, doc_b, a_start, b_start, n_grams, span_tokens] with doc_a < doc_b.
+
+    Plan (all bucketed, scale-safe): (1) positional shingles; (2) hot-shingle
+    df cap computed BEFORE any join (map-side-combinable count distinct, then
+    a broadcast-able semi join — same memory-bound discipline as
+    ngram_jaccard_pairs); (3) matched windows = one equi-join on the shingle
+    hash (pair fan-out ≤ max_doc_freq² per shingle by construction); (4) runs
+    of adjacent matches merged per (doc_a, doc_b, diagonal) with the
+    pos − row_number island trick — the window runs over MATCHED rows only
+    (a vanishing fraction of the corpus), never over the shingle table.
+    span_tokens = n_grams + n − 1 (n_grams adjacent windows overlap n−1)."""
+    from pyspark.sql import Window
+
+    sh = token_shingles(docs, n, id_col, text_col)
+    keep = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("h")
+    )
+    sh = sh.join(keep, "h", "left_semi")
+    a = sh.select(F.col("h"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"))
+    b = sh.select(F.col("h"), F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"))
+    m = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.max("pos_a").alias("a_last"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            "n_grams",
+            (F.col("a_last") - F.col("a_start") + F.lit(n)).alias("span_tokens"),
+        )
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the standard 13-gram pre-training hygiene
+    step, e.g. GPT-3 appendix C / PaLM): [doc_id, n_hits, contaminated] for
+    every corpus document sharing ≥1 distinct n-token shingle with the
+    benchmark suite; contaminated = n_hits ≥ min_hits.
+
+    The benchmark gram set is tiny relative to a 100 TB corpus, so it is
+    BROADCAST — the corpus shingle stream is probed map-side, no shuffle of
+    corpus rows at all; the per-doc count-distinct aggregate runs only on
+    the matched residue."""
+    sh = token_shingles(docs, n, id_col, text_col)
+    bench = token_shingles(benchmark, n, id_col, text_col).select("h").distinct()
+    return (
+        sh.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
+        )
+    )

@@ -18,13 +18,30 @@ tot'_C = tot_C − k_i·[C==A]:
     score(C) = k_{i→C} − tot'_C · k_i / S          (S = Σ degrees = 2m)
 
 argmax over C ties broken by smallest community id; i moves iff
-score(best) > score(A) + gain_eps AND the oscillation gate passes:
-on even supersteps only moves to a SMALLER community id are applied, on odd
-supersteps only to a LARGER one (deterministic swap-cycle breaker — the
-standard "minimum labeling" family of heuristics for parallel Louvain, cf. Lu,
-Halappanavar & Kalyanaraman 2015). ΔQ of an applied move is
-2·(score(C) − score(A))/S > 0, so every superstep strictly increases Q of each
-moved vertex against frozen state.
+score(best) > score(A) + gain_eps AND the oscillation gate passes. Two gates
+(both deterministic swap-cycle breakers from the "minimum labeling" family of
+parallel-Louvain heuristics, cf. Lu, Halappanavar & Kalyanaraman 2015):
+
+- ``gate_mode="conflict"`` (DEFAULT, r5): every improving move applies
+  UNLESS its target community is one some improving vertex is itself leaving
+  AND the move would raise the label (``target > cur``) — i.e. moves into
+  stable communities always apply; moves into communities that are losing a
+  member only apply in the descending-id direction. This breaks every swap
+  cycle (around a cycle of mutually-conflicting moves the labels would have
+  to strictly increase forever) while provably applying ≥ 1 improving move
+  per superstep whenever one exists (follow the blocked chain: each blocked
+  move's target is a mover's current community with a strictly larger label
+  — finite set, contradiction). Costs one extra V-row pass over the argmax
+  output (the moved-community distinct + a left join), in exchange for NOT
+  blocking half the improving moves per superstep the way the parity gate
+  does — measured, supersteps-to-convergence drop ~35-40 %.
+- ``gate_mode="parity"`` (r2-r4 semantics, kept fully supported): on even
+  supersteps only moves to a SMALLER community id apply, on odd supersteps
+  only to a LARGER one.
+
+ΔQ of an applied move is 2·(score(C) − score(A))/S > 0, so every superstep
+strictly increases Q of each moved vertex against frozen state under either
+gate.
 
 Shuffle budget per superstep (the whole MPI message layer of the reference,
 messagemanager.rs, dissolves into these): one edge⋈state join, one
@@ -417,6 +434,52 @@ def _best_moves_fast(
     )
 
 
+def _conflict_apply(
+    best: DataFrame, gain_eps: float, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Gate + apply for ``gate_mode="conflict"`` over a best-moves relation
+    ``[src, nbr_comm, score, cur_comm, k_i, stay_score, *carry]`` →
+    ``[id, community, k_i, _moved, *carry]``.
+
+    prelim = strictly-improving move; moved-communities = DISTINCT cur_comm
+    of preliminary movers; a prelim move applies unless its target is a
+    moved community AND target > cur (see module docstring for the
+    progress/no-swap-cycle argument). The moved set is 1 row per community
+    and DISTINCT, so the left join is 1:≤1 — no row duplication. The join is
+    NOT force-broadcast: in early supersteps of a singleton init the moved
+    set is O(V) (broadcast would not survive 100 TB); when ``best`` is
+    materialized its truthful stamped size lets the static planner broadcast
+    exactly when it actually fits.
+
+    In a LAZY composition (the fixed-step driver twins) ``best`` is
+    referenced twice — DeduplicateRelations clones it and the E-row argmax
+    subtree executes twice per evaluation (the same canonicalization wall as
+    the accepted ``tot`` double execution). The production loop therefore
+    PERSISTS ``best`` (lazily — the cache populates inside the superstep's
+    one swap job: the moved-distinct shuffle-map stage computes + caches it,
+    the gate join's second read is a cache hit), so the E-row work runs once
+    and the gate costs zero extra jobs. An eager materialize was measured
+    wall-neutral vs the parity gate at sf0.1: 2 jobs × 27 supersteps ≈
+    1 job × 53 — the small-scale floor is per-job launch cost. See
+    :func:`louvain_level`.
+    """
+    c = F.col
+    prelim = (c("nbr_comm") != c("cur_comm")) & (
+        c("score") > c("stay_score") + F.lit(gain_eps)
+    )
+    moved = best.where(prelim).select(c("cur_comm").alias("mc")).distinct()
+    gate = prelim & ((c("nbr_comm") < c("cur_comm")) | c("mc").isNull())
+    return best.join(moved, best["nbr_comm"] == moved["mc"], "left").select(
+        c("src").alias("id"),
+        F.when(gate, c("nbr_comm")).otherwise(c("cur_comm")).cast("long").alias(
+            "community"
+        ),
+        c("k_i"),
+        gate.cast("int").alias("_moved"),
+        *carry_cols,
+    )
+
+
 def _best_moves_agg(scored: DataFrame) -> DataFrame:
     """Argmax per vertex via hash aggregate (``max_by`` over a lexicographic
     (score, −nbr_comm) struct) — the default physical path: one shuffle with
@@ -586,10 +649,16 @@ def _superstep(
     gain_eps: float,
     use_pandas: bool = False,
     carry_cols: tuple[str, ...] = (),
+    gate_mode: str = "parity",
 ) -> DataFrame:
     """One synchronous local-move superstep: score candidates against frozen
     state, argmax per vertex (ties → smallest community id), apply
-    strictly-improving moves that pass the even/odd direction gate."""
+    strictly-improving moves that pass the oscillation gate (``gate_mode``:
+    "parity" = the even/odd direction gate keyed on ``step``; "conflict" =
+    the moved-community conflict gate, step-independent — see module
+    docstring). Default stays "parity" so the SQL-twin equivalence paths and
+    the fixed-step driver queries keep their pinned semantics; the production
+    loop passes its own mode explicitly."""
     x = _superstep_exprs(graph.two_m, gain_eps)
     if use_pandas:
         # alternative physical strategy, pinned label-equal to the default
@@ -598,6 +667,8 @@ def _superstep(
         best = _best_moves_fast(
             graph, assignments, graph.two_m, carry_cols=carry_cols, exprs=x
         )
+    if gate_mode == "conflict":
+        return _conflict_apply(best, gain_eps, carry_cols=carry_cols)
     # ``best`` already carries one row per vertex with its current community
     # (the own community is always a scored candidate), so the next state is
     # a pure PROJECTION of it — no separate move-set materialization and no
@@ -633,10 +704,26 @@ def louvain_level(
     start_step: int = 0,
     start_streak: int = 0,
     batch_supersteps: int = 1,
+    gate_mode: str = "conflict",
 ) -> tuple[DataFrame, LevelStats]:
-    """L1 one_level (communities.rs:36-41): supersteps until a full even+odd
-    pair produces zero moves (both parities of the oscillation gate must be
-    quiescent) or ``max_supersteps``.
+    """L1 one_level (communities.rs:36-41): supersteps until quiescence or
+    ``max_supersteps``.
+
+    ``gate_mode="conflict"`` (default, r5 — see module docstring) applies
+    every improving move whose target community is not itself losing a
+    member (descending-id moves always apply). Quiescence = ONE zero-move
+    superstep: the gate is step-independent, so an unchanged state
+    reproduces itself and a single quiet superstep is already the fixpoint.
+    Each superstep materializes the argmax output (``best``) before the
+    gate so the moved-community set derives from it without re-running the
+    E-row dataflow, then materializes the gated state (two jobs per
+    superstep; the E-row join still runs exactly once).
+
+    ``gate_mode="parity"`` (r2-r4 semantics) alternates the even/odd
+    direction gate and needs a full quiet even+odd PAIR (two consecutive
+    zero-move supersteps) to terminate. With ``min_moves_frac > 0`` both
+    modes require two consecutive below-slack supersteps (a slack-quiet
+    superstep does not imply a fixpoint).
 
     ``min_moves_frac`` is the standard parallel-Louvain convergence slack
     (cf. Lu, Halappanavar & Kalyanaraman 2015): the level also ends once two
@@ -689,7 +776,15 @@ def louvain_level(
     stats = LevelStats(level=level, start_step=start_step)
     move_slack = int(min_moves_frac * max(graph.stats.num_vertices, 1))
     zero_streak = start_streak
-    batch = batch_supersteps if (checkpointer is None and not use_pandas) else 1
+    batch = (
+        batch_supersteps
+        if (checkpointer is None and not use_pandas and gate_mode == "parity")
+        else 1
+    )
+    # conflict gate: step-independent, so one exact-zero superstep is a
+    # fixpoint; slack-quiet (> 0 moves) still needs a confirming second
+    quiet_target = 1 if (gate_mode == "conflict" and move_slack == 0) else 2
+    x = _superstep_exprs(graph.two_m, gain_eps)
     with superstep_planning(graph.edges.sparkSession):
         # level-loop state = [id, community, k_i]: the degree is joined in
         # ONCE here and then rides through every superstep projection, so the
@@ -700,12 +795,34 @@ def louvain_level(
             )
         state = materialize(asg)
         step = start_step
-        while step < max_supersteps and zero_streak < 2:
+        while step < max_supersteps and zero_streak < quiet_target:
             t0 = time.monotonic()
             pair = (
                 batch >= 2 and zero_streak == 0 and step + 1 < max_supersteps
             )
-            if pair:
+            if gate_mode == "conflict":
+                if use_pandas:
+                    best = _best_moves_pandas(move_scores(graph, state))
+                else:
+                    best = _best_moves_fast(graph, state, graph.two_m, exprs=x)
+                # LAZY persist, not materialize: the cache populates inside
+                # the ONE swap job below (the moved-distinct shuffle-map
+                # stage computes + caches `best`; the gate join's second
+                # read is a cache hit), so the conflict gate costs zero
+                # extra jobs per superstep. An eager materialize here was
+                # measured wall-neutral vs parity at sf0.1 — 27 supersteps
+                # × 2 jobs ≈ 53 × 1 job; the per-superstep floor is per-JOB
+                # launch cost, not per-superstep. Lineage stays bounded:
+                # the state swap localCheckpoints every superstep, and the
+                # InMemoryRelation is dropped right after.
+                bm = best.persist()
+                new_state = _conflict_apply(bm, gain_eps)
+                state_m, counts = swap_observed_multi(state, new_state, ["_moved"])
+                try:
+                    bm.unpersist()
+                except Exception:
+                    pass
+            elif pair:
                 # Two composed supersteps, one materialization + Observation.
                 # The first superstep's move flag rides through the second's
                 # dataflow as a carried column.
@@ -797,10 +914,16 @@ def louvain(
     min_moves_frac: float = 0.0,
     resume: bool = False,
     batch_supersteps: int = 1,
+    gate_mode: str = "conflict",
 ) -> LouvainResult:
     """Full multi-level Louvain: local-move level → coarsen → repeat until the
     level's modularity gain < ``min_q_gain``. Final labels are unwound to
     original vertex ids by joining through each level's assignment map.
+    ``gate_mode`` selects the oscillation gate ("conflict" default, "parity"
+    = the r2-r4 semantics; see module docstring) — a resume MUST pass the
+    same mode as the original run (with "parity" the gate depends on the
+    superstep index; with "conflict" it does not, but the labels differ
+    between modes).
 
     ``resume=True`` (requires ``checkpointer``) restarts from the latest
     committed superstep in the checkpoint manifest — the public crash-recovery
@@ -887,6 +1010,7 @@ def louvain(
                 start_step=resume_step if level == start_level else 0,
                 start_streak=resume_streak if level == start_level else 0,
                 batch_supersteps=batch_supersteps,
+                gate_mode=gate_mode,
             )
             # Coarsen first, then read the level's Q off the coarse graph's
             # singleton partition (exactly equal, two scalar aggs instead of two

@@ -5,11 +5,14 @@ golden labels.
 
 This implements EXACTLY the same semantics as
 graftlouvain.operators.louvain._superstep: same score formula, same
-smallest-community tie-break, same even/odd direction gate, same strict-gain
-rule, same two-quiet-supersteps level termination, same coarsening and
-min-q-gain level loop. Arithmetic uses the same f64 formula
-``k_ic - tot' * k_i / S`` so that with integer-valued weights the comparisons
-are bit-identical to Spark's.
+smallest-community tie-break, same oscillation gate (``gate_mode="conflict"``
+default — improving moves apply unless the target community is itself losing
+a preliminary mover AND target > cur; ``"parity"`` = the r2-r4 even/odd
+direction gate), same strict-gain rule, same level termination (one quiet
+superstep for the step-independent conflict gate, a quiet even+odd pair for
+parity), same coarsening and min-q-gain level loop. Arithmetic uses the same
+f64 formula ``k_ic - tot' * k_i / S`` so that with integer-valued weights the
+comparisons are bit-identical to Spark's.
 """
 
 from __future__ import annotations
@@ -57,11 +60,11 @@ def seq_modularity(edges, assignments, reference_convention=False):
     )
 
 
-def _superstep_seq(adj, deg, S, asg, step, gain_eps):
+def _superstep_seq(adj, deg, S, asg, step, gain_eps, gate_mode="conflict"):
     tot = defaultdict(float)
     for v, k in deg.items():
         tot[asg[v]] += k
-    moves = {}
+    prelim = {}  # v -> best_c over strictly-improving argmax winners
     for v in adj:
         cur = asg[v]
         k_i = deg[v]
@@ -79,23 +82,40 @@ def _superstep_seq(adj, deg, S, asg, step, gain_eps):
             if best_score is None or score > best_score:
                 best_c, best_score = c, score
             # ties: sorted(c) ascending + strict > keeps the smallest id
-        allowed = (best_c < cur) if step % 2 == 0 else (best_c > cur)
-        if best_c != cur and best_score > stay_score + gain_eps and allowed:
-            moves[v] = best_c
+        if best_c != cur and best_score > stay_score + gain_eps:
+            prelim[v] = best_c
+    if gate_mode == "conflict":
+        # moves into communities that are themselves losing a preliminary
+        # mover only apply in the descending-id direction
+        moved_comms = {asg[v] for v in prelim}
+        moves = {
+            v: c for v, c in prelim.items()
+            if c < asg[v] or c not in moved_comms
+        }
+    else:  # "parity": even steps move down-id only, odd steps up-id only
+        moves = {
+            v: c for v, c in prelim.items()
+            if (c < asg[v]) == (step % 2 == 0)
+        }
     new_asg = dict(asg)
     new_asg.update(moves)
     return new_asg, len(moves)
 
 
-def seq_louvain_level(edges, assignments=None, max_supersteps=64, gain_eps=1e-12):
+def _quiet_target(gate_mode):
+    return 1 if gate_mode == "conflict" else 2
+
+
+def seq_louvain_level(edges, assignments=None, max_supersteps=64, gain_eps=1e-12,
+                      gate_mode="conflict"):
     adj, deg, S = _graph_tables(edges)
     asg = dict(assignments) if assignments else {v: v for v in adj}
     zero_streak, steps = 0, 0
     for step in range(max_supersteps):
-        asg, n = _superstep_seq(adj, deg, S, asg, step, gain_eps)
+        asg, n = _superstep_seq(adj, deg, S, asg, step, gain_eps, gate_mode)
         steps += 1
         zero_streak = zero_streak + 1 if n == 0 else 0
-        if zero_streak >= 2:
+        if zero_streak >= _quiet_target(gate_mode):
             break
     return asg, steps
 
@@ -122,7 +142,8 @@ def _graph_tables_pre(sym):
     return adj, dict(deg), sum(deg.values())
 
 
-def seq_louvain(edges, max_levels=20, max_supersteps=64, gain_eps=1e-12, min_q_gain=1e-7):
+def seq_louvain(edges, max_levels=20, max_supersteps=64, gain_eps=1e-12, min_q_gain=1e-7,
+                gate_mode="conflict"):
     """Full multi-level oracle. Returns (assignments over original ids, Q)."""
     sym = symmetrize(edges)
     adj, deg, S = _graph_tables_pre(sym)
@@ -135,9 +156,9 @@ def seq_louvain(edges, max_levels=20, max_supersteps=64, gain_eps=1e-12, min_q_g
         asg = {v: v for v in adj}
         zero_streak = 0
         for step in range(max_supersteps):
-            asg, n = _superstep_seq(adj, deg, S, asg, step, gain_eps)
+            asg, n = _superstep_seq(adj, deg, S, asg, step, gain_eps, gate_mode)
             zero_streak = zero_streak + 1 if n == 0 else 0
-            if zero_streak >= 2:
+            if zero_streak >= _quiet_target(gate_mode):
                 break
         q = _q_of(cur_sym, asg)
         global_asg = {v: asg[c] for v, c in global_asg.items()}

@@ -155,18 +155,90 @@ def test_batched_matches_unbatched(spark, edges):
     """batch_supersteps=2 (one materialization/Observation per superstep PAIR)
     must reproduce the unbatched loop exactly: same labels, same superstep
     count, same per-superstep move sequence — with and without convergence
-    slack (min_moves_frac)."""
+    slack (min_moves_frac). Pinned to gate_mode="parity": batching composes
+    the even/odd pair, so the conflict gate (step-independent) forces
+    batch=1 by construction."""
     g = LinkGraph.from_edges(to_df(spark, edges))
     for frac in (0.0, 0.05):
-        a1, s1 = louvain_level(g, batch_supersteps=1, min_moves_frac=frac)
-        a2, s2 = louvain_level(g, batch_supersteps=2, min_moves_frac=frac)
+        a1, s1 = louvain_level(
+            g, batch_supersteps=1, min_moves_frac=frac, gate_mode="parity"
+        )
+        a2, s2 = louvain_level(
+            g, batch_supersteps=2, min_moves_frac=frac, gate_mode="parity"
+        )
         assert _labels(a1) == _labels(a2)
         assert s1.supersteps == s2.supersteps
         assert s1.moves == s2.moves
-    r1 = louvain(g, batch_supersteps=1)
-    r2 = louvain(g, batch_supersteps=2)
+    r1 = louvain(g, batch_supersteps=1, gate_mode="parity")
+    r2 = louvain(g, batch_supersteps=2, gate_mode="parity")
     assert _labels(r1.assignments) == _labels(r2.assignments)
     assert r1.modularity == pytest.approx(r2.modularity, abs=1e-12)
+
+
+@pytest.mark.parametrize(
+    "edges", [FIXTURE_28_W, FIXTURE_KARATE_W],
+    ids=["fixture28", "karate"],
+)
+def test_parity_gate_mode_matches_oracle(spark, edges):
+    """gate_mode="parity" (the r2-r4 semantics) stays exactly oracle-pinned
+    after the r5 conflict gate became the default."""
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    asg, stats = louvain_level(g, gate_mode="parity")
+    want, steps = seq_louvain_level(edges, gate_mode="parity")
+    assert _labels(asg) == want
+    assert stats.supersteps == steps
+
+
+def test_conflict_gate_progress_and_fewer_supersteps():
+    """The r5 gate's contract, on the oracle (pure Python, no Spark):
+    (a) converges in strictly fewer level supersteps than parity on every
+    fixture (the gate stops blocking half the improving moves);
+    (b) the progress guarantee — a zero-move superstep only ever occurs AT
+    the fixpoint (no vertex has any strictly-improving move), never because
+    the gate blocked all of them;
+    (c) the final Q is a DIFFERENT greedy local optimum, not a dominated
+    one: better than parity on karate/hub, worse on fixture28 (3 communities
+    at Q=0.375 vs parity's 2 at ~0.392 — pinned exactly; neither gate
+    dominates, both land at true local-move fixpoints; the at-scale
+    comparison lives in BENCH/BASELINE.md where conflict at exact fixpoint
+    meets-or-beats parity's Q)."""
+    from graftlouvain.oracle.louvain_seq import (
+        _graph_tables, _superstep_seq, seq_louvain)
+
+    fixtures = {
+        "f28": FIXTURE_28_W, "karate": FIXTURE_KARATE_W, "hub": fixture_hub()
+    }
+    for name, edges in fixtures.items():
+        # (a) strictly fewer supersteps
+        _, s_conf = seq_louvain_level(edges)
+        _, s_par = seq_louvain_level(edges, gate_mode="parity")
+        assert s_conf < s_par, (name, s_conf, s_par)
+        # (b) zero-move superstep ⇒ zero PRELIMINARY (improving) moves too:
+        # replay the level move-by-move; at the first quiet superstep no
+        # vertex may hold any strictly-improving move
+        adj, deg, S = _graph_tables(edges)
+        asg = {v: v for v in adj}
+        for step in range(64):
+            new_asg, n = _superstep_seq(adj, deg, S, asg, step, 1e-12)
+            if n == 0:
+                # prelim must be EMPTY (not merely all-blocked): any
+                # improving move is either descending or ascending, so the
+                # parity gate at even+odd parities would apply it — both
+                # quiet ⇒ no vertex has a strictly-improving move at all
+                _, n_even = _superstep_seq(adj, deg, S, asg, 0, 1e-12, "parity")
+                _, n_odd = _superstep_seq(adj, deg, S, asg, 1, 1e-12, "parity")
+                assert n_even == 0 and n_odd == 0, name  # true fixpoint
+                break
+            asg = new_asg
+    # (c) trajectory difference, pinned per fixture
+    q = {
+        name: (seq_louvain(edges)[1], seq_louvain(edges, gate_mode="parity")[1])
+        for name, edges in fixtures.items()
+    }
+    assert q["karate"][0] >= q["karate"][1] - 1e-12
+    assert q["hub"][0] >= q["hub"][1] - 1e-12
+    assert q["f28"][0] == pytest.approx(0.375, abs=1e-9)
+    assert q["f28"][1] == pytest.approx(0.392219387755102, abs=1e-9)
 
 
 def test_sql_superstep_matches_df(spark):

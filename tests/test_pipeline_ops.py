@@ -220,8 +220,61 @@ def test_multimodal_plumbing(spark, docs):
     assert rows[0]["sha"] == rows[1]["sha"]  # same bytes → same sha
     import hashlib
     assert rows[0]["sha"] == hashlib.sha256(BASE.encode()).hexdigest()
-    with pytest.raises(NotImplementedError):
-        decode_features(media, fake=False)
+
+
+def _ppm_media(spark):
+    import numpy as np
+    from graftlouvain.operators.multimodal import ppm_encode
+
+    blobs = []
+    for i, (w, h) in enumerate([(4, 3), (2, 2), (6, 1)]):
+        px = (np.arange(w * h * 3, dtype=np.int64).reshape(h, w, 3) * (i + 7)) % 256
+        blobs.append((i, "image", bytearray(ppm_encode(w, h, px)), {"codec": "image/ppm"}))
+    return spark.createDataFrame(
+        blobs, "media_id long, kind string, blob binary, meta map<string,string>"
+    )
+
+
+def test_ppm_decode_real_path(spark):
+    """fake=False is a REAL decoder now: P6 header parse + per-channel
+    mean/std in pure numpy, through the same Arrow mapInPandas plumbing."""
+    import numpy as np
+    from graftlouvain.operators.multimodal import _decode_ppm, ppm_encode
+
+    media = _ppm_media(spark)
+    rows = {r["media_id"]: r for r in decode_features(media, fake=False).collect()}
+    assert rows[0]["features"][0] == 4.0 and rows[0]["features"][1] == 3.0
+    px = (np.arange(4 * 3 * 3, dtype=np.int64).reshape(3, 4, 3) * 7) % 256
+    expect_mean = (px / 255.0).mean(axis=(0, 1))
+    assert abs(rows[0]["features"][2] - expect_mean[0]) < 1e-12
+    assert abs(rows[0]["features"][3] - expect_mean[1]) < 1e-12
+    # header comments and maxval parsing
+    blob = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert _decode_ppm(blob).shape == (1, 2, 3)
+    # corrupt blobs fail loud, not silent
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _decode_ppm(b"JFIFnot a ppm")
+    with _pytest.raises(ValueError):
+        _decode_ppm(ppm_encode(4, 4, np.zeros((4, 4, 3)))[:-5])
+
+
+def test_ppm_resize_roundtrip(spark):
+    """resize_media: P6 → nearest-neighbor (2×2) → still-valid P6 that the
+    real decoder accepts, with the resized dims in its features."""
+    from graftlouvain.operators.multimodal import resize_media
+
+    media = _ppm_media(spark)
+    small = resize_media(media, out_w=2, out_h=2)
+    rows = {r["media_id"]: r for r in decode_features(small, fake=False).collect()}
+    assert all(r["features"][0] == 2.0 and r["features"][1] == 2.0 for r in rows.values())
+    # constant-color image survives resize exactly
+    import numpy as np
+    from graftlouvain.operators.multimodal import _decode_ppm, resize_ppm
+    const = np.full((5, 7, 3), 128, dtype=np.uint8)
+    from graftlouvain.operators.multimodal import ppm_encode
+    out = _decode_ppm(resize_ppm(ppm_encode(7, 5, const), 3, 3))
+    assert np.allclose(out, 128 / 255.0)
 
 
 def test_frame_sample_plan(spark):
@@ -346,3 +399,43 @@ def test_approx_count_distinct_error_bound(spark):
     assert set(approx) == set(exact) and len(exact) > 0
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(3, 0.15 * n), (t, n, approx[t])
+
+
+def test_substring_dup_spans(spark, docs):
+    """Lee-et-al-style substring dedup: BASE is 28 tokens; docs 0/1 are
+    identical (one maximal 28-token span), doc 2 differs at token index 7
+    (lazy→sleepy), so only 8-token windows starting ≥ 8 match (one 20-token
+    span starting at 8)."""
+    from graftlouvain.operators.dedup import substring_dup_spans
+
+    out = {(r["doc_a"], r["doc_b"]): r for r in substring_dup_spans(docs, n=8).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    full = out[(0, 1)]
+    assert (full["a_start"], full["b_start"]) == (0, 0)
+    assert full["n_grams"] == 21 and full["span_tokens"] == 28
+    part = out[(0, 2)]
+    assert (part["a_start"], part["b_start"]) == (8, 8)
+    assert part["span_tokens"] == 20
+
+    # df cap drops shingles shared by >max_doc_freq docs BEFORE the join:
+    # with cap 2 the windows present in all three docs (starts ≥ 8) vanish,
+    # leaving only the 0↔1 windows that straddle token 7 (starts 0..7).
+    capped = {(r["doc_a"], r["doc_b"]): r
+              for r in substring_dup_spans(docs, n=8, max_doc_freq=2).collect()}
+    assert set(capped) == {(0, 1)}
+    assert capped[(0, 1)]["span_tokens"] == 15  # starts 0..7 → tokens 0..14
+
+
+def test_contamination_flags(spark, docs):
+    """13-gram decontamination against doc 0 as the benchmark: doc 1 (exact
+    dup) hits all 16 windows, doc 2 only the 8 windows that avoid the edited
+    token, clean docs never appear."""
+    from graftlouvain.operators.dedup import contamination_flags
+
+    bench = docs.where("doc_id = 0")
+    corpus = docs.where("doc_id != 0")
+    out = {r["doc_id"]: r
+           for r in contamination_flags(corpus, bench, n=13, min_hits=16).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_hits"] == 16 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 8 and not out[2]["contaminated"]
