@@ -48,7 +48,9 @@ t0 = time.monotonic()
 g = LinkGraph.from_edges(raw, num_partitions=cpus)
 build_s = time.monotonic() - t0
 t0 = time.monotonic()
-res = louvain(g)
+# GRAFT_GATE selects the oscillation gate (conflict = library default,
+# parity = the r2-r4 history) so gate A/Bs reuse this worker verbatim
+res = louvain(g, gate_mode=os.environ.get("GRAFT_GATE", "conflict"))
 res.assignments.count()
 wall = time.monotonic() - t0
 supersteps = sum(l.supersteps for l in res.levels)

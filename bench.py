@@ -99,6 +99,23 @@ def main() -> None:
         g.stats.num_directed_edges * supersteps / louvain_wall, 1
     )
 
+    # continuity secondary: ONE run under the r2-r4 parity gate, so the
+    # round-over-round louvain history stays directly comparable after the
+    # r5 conflict-gate default (which halves supersteps; at sf0.1 the
+    # per-superstep job floor hides most of that in wall time — the gap
+    # shows at the 66M/95M scaling points where supersteps are
+    # data-dominated). Q differs slightly between gates under convergence
+    # slack: both reach true local-move fixpoints at slack 0 (conflict
+    # 0.015966 >= parity 0.015949 at sf0.1), but slack 0.02 stops
+    # conflict's shorter tail earlier (0.014286) — a documented
+    # speed-vs-last-digit-of-Q tradeoff, not a correctness gap.
+    t0 = time.monotonic()
+    resp = louvain(g, min_moves_frac=LOUVAIN_MIN_MOVES_FRAC, gate_mode="parity")
+    resp.assignments.count()
+    extras["louvain_parity_sec"] = round(time.monotonic() - t0, 3)
+    extras["louvain_parity_supersteps"] = sum(l.supersteps for l in resp.levels)
+    extras["louvain_parity_modularity"] = round(resp.modularity, 6)
+
     # Per-operator bench targets. Names and computations are PINNED to the
     # r1-r4 bench history for round-over-round comparability; the r5
     # queries() consolidation folded some of these into combined driver rows

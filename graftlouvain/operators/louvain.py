@@ -455,12 +455,12 @@ def _conflict_apply(
     referenced twice — DeduplicateRelations clones it and the E-row argmax
     subtree executes twice per evaluation (the same canonicalization wall as
     the accepted ``tot`` double execution). The production loop therefore
-    PERSISTS ``best`` (lazily — the cache populates inside the superstep's
-    one swap job: the moved-distinct shuffle-map stage computes + caches it,
-    the gate join's second read is a cache hit), so the E-row work runs once
-    and the gate costs zero extra jobs. An eager materialize was measured
-    wall-neutral vs the parity gate at sf0.1: 2 jobs × 27 supersteps ≈
-    1 job × 53 — the small-scale floor is per-job launch cost. See
+    MATERIALIZES ``best`` first (one extra V-row job per superstep; the
+    E-row work runs once against the checkpointed leaf). A lazy
+    ``best.persist()`` variant was built and rejected: the clone's
+    canonicalized plan misses the CacheManager entry (state-derived
+    RDDScan exprIds again), so the join side re-ran the E-row argmax —
+    measured +50 % on the heavy supersteps at 18M edges. See
     :func:`louvain_level`.
     """
     c = F.col
@@ -805,17 +805,19 @@ def louvain_level(
                     best = _best_moves_pandas(move_scores(graph, state))
                 else:
                     best = _best_moves_fast(graph, state, graph.two_m, exprs=x)
-                # LAZY persist, not materialize: the cache populates inside
-                # the ONE swap job below (the moved-distinct shuffle-map
-                # stage computes + caches `best`; the gate join's second
-                # read is a cache hit), so the conflict gate costs zero
-                # extra jobs per superstep. An eager materialize here was
-                # measured wall-neutral vs parity at sf0.1 — 27 supersteps
-                # × 2 jobs ≈ 53 × 1 job; the per-superstep floor is per-JOB
-                # launch cost, not per-superstep. Lineage stays bounded:
-                # the state swap localCheckpoints every superstep, and the
-                # InMemoryRelation is dropped right after.
-                bm = best.persist()
+                # EAGER materialize, deliberately: a lazy `best.persist()`
+                # (cache populating inside the one swap job) was built and
+                # measured — at 18M edges the conflict superstep's heavy
+                # phase ran 7.6 s vs parity's 5.0 s warm, consistent with
+                # the gate join's SECOND reference to `best` missing the
+                # cache and re-running the full E-row argmax (the same
+                # RDDScanExec canonicalization wall as the pinned `tot`
+                # double-execution: state-derived subplans never match in
+                # CacheManager). Materialize costs one extra V-row job per
+                # superstep but guarantees the E-row work runs ONCE; at
+                # sf0.1 the two variants are wall-neutral (the small-scale
+                # floor is per-job launch), at 18M+ materialize wins ~30 %.
+                bm = materialize(best)
                 new_state = _conflict_apply(bm, gain_eps)
                 state_m, counts = swap_observed_multi(state, new_state, ["_moved"])
                 try:
