@@ -480,6 +480,74 @@ def _conflict_apply(
     )
 
 
+def _conflict_apply_fused(
+    best: DataFrame, gain_eps: float, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Single-reference gate + apply for ``gate_mode="conflict"`` — same
+    gate function as :func:`_conflict_apply` (labels byte-identical, pinned
+    by ``test_conflict_apply_fused_equivalent``), but ``best`` appears in
+    the plan exactly ONCE, so the production loop no longer has to
+    materialize the argmax output before gating (one job per superstep
+    instead of two) and a lazy composition (the fixed-step driver twins) no
+    longer re-runs the E-row argmax on the moved-set side.
+
+    Mechanism: the gate needs, for each row, whether its TARGET community
+    appears as the CURRENT community of some preliminary mover — a cross-row
+    exchange keyed by community id that the join formulation expresses as
+    ``best ⋈ distinct(σ_prelim(best))`` (two references). Instead each best
+    row is exploded into (a) a DATA record keyed by its target ``nbr_comm``
+    and (b) — only when the row is itself a preliminary mover — a MARKER
+    record keyed by its current ``cur_comm``; one window ``max(marker)``
+    over the key then recovers "target community loses a member" in the
+    same pass. Conditional marker emission keeps the exploded relation at
+    V + (#preliminary movers) rows ≤ 2V, shrinking to ~V as the level
+    converges.
+
+    Cost shape vs the join form: one shuffle of ≤ 2V skinny rows plus the
+    window's in-partition sort, replacing {materialize-best job: V-row
+    checkpoint write+read} + {distinct shuffle + left join}. Skew caveat: a
+    single community targeted by a large fraction of all vertices puts its
+    data rows in ONE window group (one task sorts them); the join
+    formulation shares that hazard on the build side only when the moved
+    set cannot broadcast, so :func:`_conflict_apply` (+ eager best
+    materialize) is kept as the documented fallback — ``louvain_level``
+    exposes the choice and defaults to fused (measured: see
+    BENCH/BASELINE.md §9, round 5b).
+    """
+    c = F.col
+    prelim = (c("nbr_comm") != c("cur_comm")) & (
+        c("score") > c("stay_score") + F.lit(gain_eps)
+    )
+    data_rec = F.struct(
+        c("nbr_comm").alias("key"), F.lit(0).alias("m"), F.lit(1).alias("is_data")
+    )
+    marker_rec = F.struct(
+        c("cur_comm").alias("key"), F.lit(1).alias("m"), F.lit(0).alias("is_data")
+    )
+    recs = F.when(prelim, F.array(marker_rec, data_rec)).otherwise(F.array(data_rec))
+    two = best.select(
+        "src", "nbr_comm", "cur_comm", "k_i",
+        prelim.alias("_prelim"), *carry_cols, F.explode(recs).alias("r"),
+    ).select("*", "r.key", "r.m", "r.is_data").drop("r")
+    # max over the whole key group: 1 iff some preliminary mover is LEAVING
+    # this community (marker rows); data rows contribute 0
+    tmoved = F.max("m").over(Window.partitionBy("key"))
+    gate = c("_prelim") & ((c("nbr_comm") < c("cur_comm")) | (c("_tmoved") == 0))
+    return (
+        two.withColumn("_tmoved", tmoved)
+        .where(c("is_data") == 1)
+        .select(
+            c("src").alias("id"),
+            F.when(gate, c("nbr_comm")).otherwise(c("cur_comm")).cast("long").alias(
+                "community"
+            ),
+            c("k_i"),
+            gate.cast("int").alias("_moved"),
+            *carry_cols,
+        )
+    )
+
+
 def _best_moves_agg(scored: DataFrame) -> DataFrame:
     """Argmax per vertex via hash aggregate (``max_by`` over a lexicographic
     (score, −nbr_comm) struct) — the default physical path: one shuffle with
@@ -668,7 +736,10 @@ def _superstep(
             graph, assignments, graph.two_m, carry_cols=carry_cols, exprs=x
         )
     if gate_mode == "conflict":
-        return _conflict_apply(best, gain_eps, carry_cols=carry_cols)
+        # fused single-reference gate: lazy compositions (the driver twins)
+        # evaluate the E-row argmax once instead of twice, and the
+        # production loop needs no pre-gate materialization of ``best``
+        return _conflict_apply_fused(best, gain_eps, carry_cols=carry_cols)
     # ``best`` already carries one row per vertex with its current community
     # (the own community is always a scored candidate), so the next state is
     # a pure PROJECTION of it — no separate move-set materialization and no
@@ -705,6 +776,7 @@ def louvain_level(
     start_streak: int = 0,
     batch_supersteps: int = 1,
     gate_mode: str = "conflict",
+    conflict_fuse: bool = True,
 ) -> tuple[DataFrame, LevelStats]:
     """L1 one_level (communities.rs:36-41): supersteps until quiescence or
     ``max_supersteps``.
@@ -714,10 +786,16 @@ def louvain_level(
     member (descending-id moves always apply). Quiescence = ONE zero-move
     superstep: the gate is step-independent, so an unchanged state
     reproduces itself and a single quiet superstep is already the fixpoint.
-    Each superstep materializes the argmax output (``best``) before the
-    gate so the moved-community set derives from it without re-running the
-    E-row dataflow, then materializes the gated state (two jobs per
-    superstep; the E-row join still runs exactly once).
+    With ``conflict_fuse=True`` (default, r5b) the gate is the
+    single-reference fused form (:func:`_conflict_apply_fused`): ONE job
+    per superstep — the E-row dataflow, the exploded moved-community
+    window, the gated apply, and the move-count Observation all ride the
+    one state materialization. ``conflict_fuse=False`` keeps the r5 join
+    formulation (materialize the argmax output, then moved-set distinct +
+    left join + second materialization — two jobs per superstep), retained
+    as the fallback for the window form's single-hot-target-community skew
+    hazard; labels are byte-identical between the two (same gate function,
+    pinned by test).
 
     ``gate_mode="parity"`` (r2-r4 semantics) alternates the even/odd
     direction gate and needs a full quiet even+odd PAIR (two consecutive
@@ -800,23 +878,23 @@ def louvain_level(
             pair = (
                 batch >= 2 and zero_streak == 0 and step + 1 < max_supersteps
             )
-            if gate_mode == "conflict":
+            if gate_mode == "conflict" and not conflict_fuse:
+                # r5 join formulation, kept as the skew fallback (see
+                # louvain_level docstring). EAGER materialize, deliberately:
+                # a lazy `best.persist()` (cache populating inside the one
+                # swap job) was built and measured — at 18M edges the
+                # conflict superstep's heavy phase ran 7.6 s vs parity's
+                # 5.0 s warm, consistent with the gate join's SECOND
+                # reference to `best` missing the cache and re-running the
+                # full E-row argmax (the same RDDScanExec canonicalization
+                # wall as the pinned `tot` double-execution: state-derived
+                # subplans never match in CacheManager). Materialize costs
+                # one extra V-row job per superstep but guarantees the E-row
+                # work runs ONCE against the checkpointed leaf.
                 if use_pandas:
                     best = _best_moves_pandas(move_scores(graph, state))
                 else:
                     best = _best_moves_fast(graph, state, graph.two_m, exprs=x)
-                # EAGER materialize, deliberately: a lazy `best.persist()`
-                # (cache populating inside the one swap job) was built and
-                # measured — at 18M edges the conflict superstep's heavy
-                # phase ran 7.6 s vs parity's 5.0 s warm, consistent with
-                # the gate join's SECOND reference to `best` missing the
-                # cache and re-running the full E-row argmax (the same
-                # RDDScanExec canonicalization wall as the pinned `tot`
-                # double-execution: state-derived subplans never match in
-                # CacheManager). Materialize costs one extra V-row job per
-                # superstep but guarantees the E-row work runs ONCE; at
-                # sf0.1 the two variants are wall-neutral (the small-scale
-                # floor is per-job launch), at 18M+ materialize wins ~30 %.
                 bm = materialize(best)
                 new_state = _conflict_apply(bm, gain_eps)
                 state_m, counts = swap_observed_multi(state, new_state, ["_moved"])
@@ -838,8 +916,12 @@ def louvain_level(
                     state, s2, ["_moved0", "_moved"]
                 )
             else:
+                # parity single step, or the fused conflict gate (one plan,
+                # one materialization + Observation per superstep — `best`
+                # appears exactly once, so nothing needs a pre-gate job)
                 new_state = _superstep(
-                    graph, state, step, gain_eps, use_pandas=use_pandas
+                    graph, state, step, gain_eps, use_pandas=use_pandas,
+                    gate_mode=gate_mode,
                 )
                 state_m, counts = swap_observed_multi(state, new_state, ["_moved"])
             state = state_m.select("id", "community", "k_i")
@@ -917,6 +999,7 @@ def louvain(
     resume: bool = False,
     batch_supersteps: int = 1,
     gate_mode: str = "conflict",
+    conflict_fuse: bool = True,
 ) -> LouvainResult:
     """Full multi-level Louvain: local-move level → coarsen → repeat until the
     level's modularity gain < ``min_q_gain``. Final labels are unwound to
@@ -1013,6 +1096,7 @@ def louvain(
                 start_streak=resume_streak if level == start_level else 0,
                 batch_supersteps=batch_supersteps,
                 gate_mode=gate_mode,
+                conflict_fuse=conflict_fuse,
             )
             # Coarsen first, then read the level's Q off the coarse graph's
             # singleton partition (exactly equal, two scalar aggs instead of two

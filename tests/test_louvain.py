@@ -419,3 +419,55 @@ def test_random_graphs_match_oracle(spark):
         want, q_want = seq_louvain(edges)
         assert _labels(result.assignments) == want, f"seed {seed}"
         assert result.modularity == pytest.approx(q_want, abs=1e-9), f"seed {seed}"
+
+
+@pytest.mark.parametrize(
+    "edges", [FIXTURE_W5, FIXTURE_28_W, FIXTURE_KARATE_W, fixture_hub()],
+    ids=["w5", "fixture28", "karate", "hub"],
+)
+def test_conflict_apply_fused_equivalent(spark, edges):
+    """The fused single-reference conflict gate (r5b: exploded data/marker
+    relation + one window, `best` referenced ONCE) is byte-identical to the
+    r5 join formulation (materialized `best` + distinct moved-set left
+    join): same gate function, different physical shape only. Pinned at
+    three granularities: (a) the raw gated relation from singleton AND
+    mid-level states including the _moved flag, (b) full-level labels,
+    (c) superstep count + per-superstep move sequence."""
+    from pyspark.sql import functions as F
+
+    from graftlouvain.operators.louvain import (
+        _best_moves_fast,
+        _conflict_apply,
+        _conflict_apply_fused,
+        _superstep_exprs,
+        materialize,
+    )
+
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    x = _superstep_exprs(g.two_m, 1e-12)
+    state = singleton_assignments(g).join(
+        g.degrees.select("id", F.col("degree").alias("k_i")), "id"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["id"], r["community"], round(r["k_i"], 9), r["_moved"])
+            for r in df.collect()
+        )
+
+    # (a) raw relation equality from singleton, then from the state the
+    # join form produces (a mid-level, partially-converged state)
+    for _ in range(2):
+        best = materialize(_best_moves_fast(g, state, g.two_m, exprs=x))
+        joined = _conflict_apply(best, 1e-12)
+        fused = _conflict_apply_fused(best, 1e-12)
+        assert rows(fused) == rows(joined)
+        state = joined.select("id", "community", "k_i")
+        best.unpersist()
+
+    # (b)+(c) the full level, fused loop vs join-fallback loop
+    a1, s1 = louvain_level(g, conflict_fuse=True)
+    a2, s2 = louvain_level(g, conflict_fuse=False)
+    assert _labels(a1) == _labels(a2)
+    assert s1.supersteps == s2.supersteps
+    assert s1.moves == s2.moves
