@@ -721,23 +721,45 @@ def q_triangles_per_vertex(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
-    """Exact sha256 dedup plus the keep-list flag: ``kept`` is computed by
-    the REAL left_anti join (the relational primitive from SURVEY.md §2g —
-    documents minus duplicates), then re-attached, so one driver row
-    certifies both the dedup labeling and the anti-join keep-list that the
-    former ``dedup_keep`` query carried."""
+    """Exact sha256 dedup plus the keep-list flag plus the NEAR-dup cluster
+    label, one row per document. ``kept`` is computed by the REAL left_anti
+    join (the relational primitive from SURVEY.md §2g — documents minus
+    duplicates), then re-attached, so one driver row certifies the dedup
+    labeling AND the anti-join keep-list that the former ``dedup_keep``
+    query carried. ``cluster`` is the former ``dedup_clusters`` query
+    absorbed as a column (r5 consolidation, 50-entry driver cap): MinHash-LSH
+    near-dup pairs → connected components → min-doc_id cluster label,
+    composed on the LSH SCALE path (banded candidates, exact Jaccard verify
+    restricted to candidates) while the oracle stays the exact n-gram SQL —
+    the hash gate doubles as an end-to-end LSH-recall check (recall 1.0
+    measured in BENCH/dedup_scale.py; any missed pair would split a cluster
+    and fail the hash)."""
     docs = _read(spark, sf, "documents")
     dd = exact_dedup(docs)
     dups = dd.where(F.col("is_duplicate")).select("doc_id")
     keep = docs.select("doc_id").join(dups, "doc_id", "left_anti").withColumn(
         "kept", F.lit(True)
     )
-    return dd.join(keep, "doc_id", "left").select(
-        "doc_id",
-        "content_sha",
-        "canonical_id",
-        "is_duplicate",
-        F.coalesce("kept", F.lit(False)).alias("kept"),
+    pairs = minhash_lsh_pairs(docs, n=8, num_hashes=64, bands=16, threshold=0.5)
+    cc_edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    cc = (
+        components(LinkGraph.from_edges(cc_edges))
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("component", "cluster")
+    )
+    return (
+        dd.join(keep, "doc_id", "left")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "content_sha",
+            "canonical_id",
+            "is_duplicate",
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+            F.coalesce("cluster", "doc_id").alias("cluster"),
+        )
     )
 
 
@@ -756,6 +778,20 @@ def q_substring_dup_spans(spark, sf):
     from graftlouvain.operators.dedup import substring_dup_spans
 
     return substring_dup_spans(
+        _read(spark, sf, "documents"), n=SUBSTR_N, max_doc_freq=SUBSTR_MAX_DF
+    )
+
+
+def q_substring_mask(spark, sf):
+    """The Lee et al. 2021 INTERVENTION composed on the certified span
+    detector: every document rewritten with duplicated spans REMOVED from
+    all but the lowest-id holder (keep-first), overlapping removal intervals
+    union-merged per doc, text rebuilt token-wise (whitespace-normalized).
+    The masked TEXT itself is hash-gated cross-engine, so the interval merge
+    and the rebuild — not just the span detection — are certified."""
+    from graftlouvain.operators.dedup import mask_duplicate_spans
+
+    return mask_duplicate_spans(
         _read(spark, sf, "documents"), n=SUBSTR_N, max_doc_freq=SUBSTR_MAX_DF
     )
 
@@ -872,32 +908,6 @@ def q_embedding_near_dups(spark, sf):
     return embedding_near_dup_pairs_lsh(
         emb, dim=64, threshold=0.99, n_tables=12
     ).select("a", "b", "cosine")
-
-
-def q_dedup_clusters(spark, sf):
-    """Composed pipeline: MinHash-LSH near-dup pairs → connected components →
-    dedup clusters (every doc labeled with the min doc_id of its near-dup
-    cluster). The canonical 'which rows do I keep' output of a training-data
-    dedup stage — composed on the LSH SCALE path (banded candidates, exact
-    Jaccard verify restricted to candidates), not the quadratic-per-gram
-    exact self-join; the oracle stays the exact n-gram SQL, so this query's
-    hash gate doubles as an end-to-end LSH-recall check (recall 1.0 measured
-    in BENCH/dedup_scale.py, and any missed pair would split a cluster and
-    fail the hash)."""
-    docs = _read(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, n=8, num_hashes=64, bands=16, threshold=0.5)
-    edges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
-    )
-    g = LinkGraph.from_edges(edges)
-    cc = components(g).withColumnRenamed("id", "doc_id").withColumnRenamed(
-        "component", "cluster"
-    )
-    return (
-        docs.select("doc_id")
-        .join(cc, "doc_id", "left")
-        .select("doc_id", F.coalesce("cluster", "doc_id").alias("cluster"))
-    )
 
 
 def q_corpus_select(spark, sf):
@@ -1101,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new / least-proven first
         "louvain_level2_fixed": q_louvain_level2_fixed,
         "substring_dup_spans": q_substring_dup_spans,
+        "substring_mask": q_substring_mask,
         "contamination_flags": q_contamination_flags,
         "user_cardinality": q_user_cardinality,
         "walk_corpus": q_walk_corpus,
@@ -1140,7 +1151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_imports": q_ingest_imports,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
@@ -2180,6 +2190,69 @@ SELECT doc_a, doc_b, MIN(pos_a) AS a_start,
        MAX(pos_a) - MIN(pos_a) + {SUBSTR_N} AS span_tokens
 FROM g GROUP BY doc_a, doc_b, diag, grp"""
 
+    sql["substring_mask"] = f"""WITH {_TOKSH_CTE},
+{_shingle_cte(SUBSTR_N)},
+keep AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) <= {SUBSTR_MAX_DF}),
+shk AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN keep USING (h)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM shk a JOIN shk b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+g AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pos_a) AS grp
+  FROM m
+),
+spans AS (
+  SELECT doc_b AS doc_id, MIN(pos_a) - diag AS s,
+         MIN(pos_a) - diag + MAX(pos_a) - MIN(pos_a) + {SUBSTR_N} AS e
+  FROM g GROUP BY doc_a, doc_b, diag, grp
+),
+ivp AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM spans
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM ivp
+),
+merged AS (SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY doc_id, isl),
+niv AS (SELECT doc_id, COUNT(*) AS n_iv FROM merged GROUP BY doc_id),
+tok_rows AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i + 1] AS tok
+  FROM toks, UNNEST(range(0, len(t))) AS r(i)
+),
+covered AS (
+  SELECT DISTINCT tr.doc_id, tr.pos
+  FROM tok_rows tr JOIN merged mg
+    ON tr.doc_id = mg.doc_id AND tr.pos >= mg.s AND tr.pos < mg.e
+),
+keptt AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tok_rows tr LEFT JOIN covered c
+    ON tr.doc_id = c.doc_id AND tr.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM keptt GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       COALESCE(a.text, '') AS text,
+       COALESCE(n.n_iv, 0) AS n_spans_removed,
+       len(tk.t) - COALESCE(a.n_kept, 0) AS n_tokens_removed
+FROM toks tk
+LEFT JOIN agg a ON tk.doc_id = a.doc_id
+LEFT JOIN niv n ON tk.doc_id = n.doc_id"""
+
     sql["contamination_flags"] = f"""WITH {_TOKSH_CTE},
 {_shingle_cte(CONTAM_N)},
 bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {CONTAM_MOD} = 0)
@@ -2242,26 +2315,9 @@ FROM edges e1
 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst) tt"""
 
-    sql["dedup_exact"] = """
-WITH hashed AS (SELECT doc_id, SHA256(text) AS content_sha FROM documents),
-canon AS (SELECT content_sha, MIN(doc_id) AS canonical_id FROM hashed GROUP BY 1)
-SELECT h.doc_id, h.content_sha, c.canonical_id,
-       h.doc_id != c.canonical_id AS is_duplicate,
-       h.doc_id = c.canonical_id AS kept
-FROM hashed h JOIN canon c ON h.content_sha = c.content_sha"""
-
-    sql["ngram_jaccard_dups"] = f"""WITH {_NGRAM_DOCS_CTE.strip()},
-inter AS (
-  SELECT ra.doc_id AS a, rb.doc_id AS b, COUNT(*) AS i
-  FROM rare ra JOIN rare rb ON ra.gram = rb.gram AND ra.doc_id < rb.doc_id
-  GROUP BY 1, 2
-)
-SELECT i.a, i.b,
-       ROUND(CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i), 6) AS jaccard
-FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
-WHERE CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i) >= 0.5"""
-
-    sql["dedup_clusters"] = f"""WITH RECURSIVE {_NGRAM_DOCS_CTE.strip()},
+    sql["dedup_exact"] = f"""WITH RECURSIVE {_NGRAM_DOCS_CTE.strip()},
+hashed AS (SELECT doc_id, SHA256(text) AS content_sha FROM documents),
+canon AS (SELECT content_sha, MIN(doc_id) AS canonical_id FROM hashed GROUP BY 1),
 inter AS (
   SELECT ra.doc_id AS a, rb.doc_id AS b, COUNT(*) AS i
   FROM rare ra JOIN rare rb ON ra.gram = rb.gram AND ra.doc_id < rb.doc_id
@@ -2282,8 +2338,23 @@ reach(id, r) AS (
   SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
 ),
 cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
-SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster
-FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
+SELECT h.doc_id, h.content_sha, c.canonical_id,
+       h.doc_id != c.canonical_id AS is_duplicate,
+       h.doc_id = c.canonical_id AS kept,
+       COALESCE(cc.cluster, h.doc_id) AS cluster
+FROM hashed h JOIN canon c ON h.content_sha = c.content_sha
+LEFT JOIN cc ON h.doc_id = cc.id"""
+
+    sql["ngram_jaccard_dups"] = f"""WITH {_NGRAM_DOCS_CTE.strip()},
+inter AS (
+  SELECT ra.doc_id AS a, rb.doc_id AS b, COUNT(*) AS i
+  FROM rare ra JOIN rare rb ON ra.gram = rb.gram AND ra.doc_id < rb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       ROUND(CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) / (sa.n_grams + sb.n_grams - i.i) >= 0.5"""
 
     _cos = """
 qd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

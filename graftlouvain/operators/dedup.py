@@ -16,6 +16,10 @@ Five variants over a documents table [doc_id: long, text: string]:
   small Hamming distance, bucketed by 4 × 16-bit bands (Manku et al. 2007).
 - :func:`embedding_cosine_pairs` — near-duplicate detection on an embedding
   column (array<float>), exact cosine over a (optionally LSH-bucketed) join.
+- :func:`substring_dup_spans` / :func:`mask_duplicate_spans` — substring-level
+  exact dedup (Lee et al. 2021): maximal cross-document duplicated token
+  spans via positional shingle match + island merge, and the intervention
+  that rewrites the corpus with those spans removed keep-first.
 
 Common scale guards: n-grams deduplicated per document before hashing; gram
 join filtered by document-frequency cap (drops stop-grams that would create
@@ -571,5 +575,90 @@ def contamination_flags(
             "doc_id",
             "n_hits",
             (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
+        )
+    )
+
+
+def mask_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    max_doc_freq: int = 16,
+    min_span_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Lee et al. 2021 INTERVENTION (not just detection): rewrite every
+    document with cross-document duplicated token spans REMOVED from all but
+    the lowest-id holder — [doc_id, text, n_spans_removed, n_tokens_removed]
+    over the FULL corpus (untouched docs pass through).
+
+    Keep-first rule: :func:`substring_dup_spans` emits spans with
+    doc_a < doc_b; the span is cut from doc_b only, so the smallest doc id
+    holding a span keeps its copy (the same keep-smallest convention as
+    :func:`exact_dedup`). Removal intervals [b_start, b_start + span_tokens)
+    from ALL of a doc's pairings are UNION-merged (gaps-and-islands via a
+    running max(end) window over ≤ a few intervals per doc — never over the
+    shingle table), then the text is rebuilt token-wise with one JVM
+    higher-order ``filter`` over the token array against the doc's merged
+    interval array (collected per doc — bounded by the doc's own span count).
+    ``min_span_tokens`` (default n) drops short spans before masking — Lee
+    et al. used 50-token spans; the default masks everything the detector
+    certifies.
+
+    Output text is WHITESPACE-NORMALIZED (single spaces), the same
+    normalization the shingle detector applies — the transform is therefore
+    idempotent and exactly replayable in ANSI SQL. Scale shape: spans are a
+    vanishing fraction of corpus rows, the interval merge and the rebuild
+    join are keyed on doc_id (co-partitioned with the docs scan), and no
+    stage ever joins corpus rows against corpus rows."""
+    from pyspark.sql import Window
+
+    min_span = n if min_span_tokens is None else min_span_tokens
+    spans = substring_dup_spans(
+        docs, n=n, max_doc_freq=max_doc_freq, id_col=id_col, text_col=text_col
+    ).where(F.col("span_tokens") >= min_span)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_tokens")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    island = F.sum(
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        ).otherwise(0)
+    ).over(w_run)
+    merged = (
+        iv.withColumn("isl", island)
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")
+    )
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), _WS_RE, " ")), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    kept = F.expr(
+        "CASE WHEN ivs IS NULL THEN t "
+        "ELSE filter(t, (x, i) -> NOT exists(ivs, iv -> i >= iv.s AND i < iv.e)) END"
+    )
+    return (
+        base.join(ivs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("text"),
+            F.coalesce(F.size("ivs"), F.lit(0)).alias("n_spans_removed"),
+            (F.size("t") - F.size(kept)).alias("n_tokens_removed"),
         )
     )

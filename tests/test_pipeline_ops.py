@@ -439,3 +439,41 @@ def test_contamination_flags(spark, docs):
     assert set(out) == {1, 2}
     assert out[1]["n_hits"] == 16 and out[1]["contaminated"]
     assert out[2]["n_hits"] == 8 and not out[2]["contaminated"]
+
+
+def test_mask_duplicate_spans(spark, docs):
+    """The Lee et al. INTERVENTION on the span detector's output: doc 0
+    (lowest holder) keeps every span; doc 1 (exact dup of 0) is emptied; doc
+    2's two pair-spans (vs 0 and vs 1, both [8,28)) merge into ONE removal
+    interval leaving its first 8 tokens; unrelated and empty docs pass
+    through; the transform is idempotent (re-masking the masked corpus
+    changes nothing)."""
+    from graftlouvain.operators.dedup import mask_duplicate_spans
+
+    base_toks = BASE.split()
+    doc2_toks = BASE.replace("lazy", "sleepy").split()
+    out = {r["doc_id"]: r for r in mask_duplicate_spans(docs, n=8).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert out[0]["text"] == " ".join(base_toks)
+    assert out[0]["n_spans_removed"] == 0 and out[0]["n_tokens_removed"] == 0
+    assert out[1]["text"] == "" and out[1]["n_tokens_removed"] == len(base_toks)
+    assert out[1]["n_spans_removed"] == 1
+    assert out[2]["text"] == " ".join(doc2_toks[:8])
+    assert out[2]["n_spans_removed"] == 1  # two pair-spans, one merged interval
+    assert out[2]["n_tokens_removed"] == len(doc2_toks) - 8
+    assert out[3]["n_tokens_removed"] == 0 and out[4]["n_tokens_removed"] == 0
+    assert out[5]["text"] == "" and out[5]["n_tokens_removed"] == 0
+
+    # idempotence: masking the masked corpus is a no-op (nothing duplicated
+    # survives the first pass among the kept-first copies... doc 0 retains
+    # the only copy)
+    masked = mask_duplicate_spans(docs, n=8).select("doc_id", "text")
+    again = {r["doc_id"]: r for r in mask_duplicate_spans(masked, n=8).collect()}
+    for i in range(6):
+        assert again[i]["text"] == out[i]["text"], i
+        assert again[i]["n_tokens_removed"] == 0, i
+
+    # min_span_tokens filter: nothing shorter than 29 tokens exists, so a
+    # 29-token floor masks nothing
+    untouched = mask_duplicate_spans(docs, n=8, min_span_tokens=29)
+    assert untouched.agg(F.sum("n_tokens_removed")).first()[0] == 0
