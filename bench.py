@@ -123,6 +123,7 @@ def main() -> None:
     # embedding_topk → ann_topk), so entries consolidated out of the dict are
     # benched via their still-exported q_* functions / operators directly.
     qs = entrymod.queries()
+    from graftlouvain.operators.dedup import exact_dedup as _exact_dedup
     from graftlouvain.operators.textstats import lang_id as _lang_id
     from graftlouvain.operators.textstats import quality_scores as _quality
 
@@ -134,7 +135,13 @@ def main() -> None:
         "clustering_coeff": qs["clustering_coeff"],
         "kcore": qs["kcore"],
         "random_walks": entrymod.q_random_walks,
-        "dedup_exact": qs["dedup_exact"],
+        # r5b: the driver's dedup_exact row absorbed the LSH-clusters
+        # composition; the bench target stays the PURE sha-dedup operator so
+        # the r1-r4 history holds (the LSH path is already the
+        # minhash_lsh_dups target)
+        "dedup_exact": lambda spark, sf: _exact_dedup(
+            entrymod._read(spark, sf, "documents")
+        ),
         "ngram_jaccard_dups": qs["ngram_jaccard_dups"],
         "minhash_lsh_dups": qs["minhash_lsh_dups"],
         "simhash_dups": qs["simhash_dups"],
