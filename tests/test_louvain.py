@@ -471,3 +471,41 @@ def test_conflict_apply_fused_equivalent(spark, edges):
     assert _labels(a1) == _labels(a2)
     assert s1.supersteps == s2.supersteps
     assert s1.moves == s2.moves
+
+
+def test_fused_conflict_superstep_plan_shape(spark):
+    """Plan pin for the r5b fused conflict gate: the parity superstep plan
+    stays exchange-FREE on the src-partitioned edge cache (the r2-r4 pinned
+    property), and the fused conflict superstep adds EXACTLY ONE shuffle —
+    the ≤2V-row data/marker window keyed on the community id — never an
+    E-row exchange (the argmax aggregate rides the edge cache's src
+    partitioning in both modes). If this count grows, the gate has started
+    reshuffling edge-proportional data and the 100 TB story breaks."""
+    from pyspark.sql import functions as F
+
+    from graftlouvain.functions.iterate import materialize, superstep_planning
+    from graftlouvain.operators.louvain import _superstep
+
+    g = LinkGraph.from_edges(to_df(spark, FIXTURE_28_W))
+    asg = singleton_assignments(g).join(
+        g.degrees.select("id", F.col("degree").alias("k_i")), "id"
+    )
+    with superstep_planning(spark):
+        st = materialize(asg)
+        counts = {}
+        for mode in ("parity", "conflict"):
+            out = _superstep(g, st, 0, 1e-12, gate_mode=mode)
+            sp = out._jdf.queryExecution().executedPlan()
+            found = []
+
+            def walk(node):
+                if "ShuffleExchange" in node.getClass().getSimpleName():
+                    found.append(node.toString().splitlines()[0])
+                for i in range(node.children().size()):
+                    walk(node.children().apply(i))
+
+            walk(sp)
+            counts[mode] = found
+    assert counts["parity"] == []
+    assert len(counts["conflict"]) == 1
+    assert "key#" in counts["conflict"][0]  # the window's community-id key
