@@ -151,6 +151,7 @@ def main() -> None:
         "quality_scores": lambda spark, sf: _quality(entrymod._read(spark, sf, "documents")),
         "events_sessionize": qs["events_sessionize"],
         "substring_dup_spans": qs["substring_dup_spans"],
+        "substring_mask": qs["substring_mask"],
         "contamination_flags": qs["contamination_flags"],
     }
     for name, fn in bench_targets.items():
