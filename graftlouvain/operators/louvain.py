@@ -47,10 +47,14 @@ Shuffle budget per superstep (the whole MPI message layer of the reference,
 messagemanager.rs, dissolves into these): one edge⋈state join, one
 groupBy(src, nbr_comm), one join on nbr_comm (community totals — computed
 straight off the state, which carries k_i), one hash-aggregate argmax on src
-(max_by — no sort). The next state is a projection of the argmax output, so
-there is exactly ONE materialization per superstep and the move count is a
-scalar aggregate over it. State stays hash-partitioned on vertex id
-(session-level partition count) so edge-side joins are co-partitioned.
+(max_by — no sort). Under parity the next state is a pure projection of the
+argmax output; under the default fused conflict gate it adds ONE skinny
+shuffle (the ≤2V-row data/marker window keyed on community id — see
+:func:`_conflict_apply_fused`) and nothing edge-proportional (pinned by
+``test_fused_conflict_superstep_plan_shape``). Either way there is exactly
+ONE materialization per superstep and the move count is a scalar aggregate
+over it. State stays hash-partitioned on vertex id (session-level partition
+count) so edge-side joins are co-partitioned.
 """
 
 from __future__ import annotations
