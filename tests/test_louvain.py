@@ -472,6 +472,21 @@ def test_conflict_apply_fused_equivalent(spark, edges):
     assert s1.supersteps == s2.supersteps
     assert s1.moves == s2.moves
 
+    # carry columns ride both gate forms identically (the API surface the
+    # batched-pair parity path uses; conflict accepts them too)
+    state_c = singleton_assignments(g).join(
+        g.degrees.select("id", F.col("degree").alias("k_i")), "id"
+    ).withColumn("_tag", F.col("id") % 3)
+    best_c = materialize(
+        _best_moves_fast(g, state_c, g.two_m, carry_cols=("_tag",), exprs=x)
+    )
+    rows_c = lambda df: sorted(
+        (r["id"], r["community"], r["_moved"], r["_tag"]) for r in df.collect()
+    )
+    assert rows_c(_conflict_apply_fused(best_c, 1e-12, carry_cols=("_tag",))) == \
+        rows_c(_conflict_apply(best_c, 1e-12, carry_cols=("_tag",)))
+    best_c.unpersist()
+
 
 def test_fused_conflict_superstep_plan_shape(spark):
     """Plan pin for the r5b fused conflict gate: the parity superstep plan
