@@ -49,7 +49,7 @@ from graftlouvain.operators.textstats import (  # noqa: E402
     quality_scores,
     token_counts,
 )
-from graftlouvain.operators.triangles import triangle_list, triangles_per_vertex  # noqa: E402
+from graftlouvain.operators.triangles import triangles_per_vertex  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # shared builders
@@ -707,13 +707,23 @@ def q_triangles_per_vertex(spark, sf):
     """Per-vertex triangle counts (degree-ordered orientation; counts are
     orientation-invariant, so the SQL oracle uses id-ordering), plus the
     global triangle total as the sentinel row id = −1 (the former
-    ``triangle_total`` query, consolidated — computed by the independent
-    triangle_list count, NOT by summing the per-vertex rows, so the
-    cross-check between the two implementations survives)."""
+    ``triangle_total`` query, consolidated).
+
+    The Spark side derives the sentinel as sum(per-vertex)/3 over the
+    MATERIALIZED per-vertex relation — ONE wedge enumeration for the whole
+    query (the r5 version ran ``triangle_list().count()`` as a second
+    independent enumeration; on the ~91 %-dense sf0.1 supplier graph that
+    is 124.5M triangles re-enumerated for a number the cross-check does not
+    need, because the independence that certifies the total is
+    CROSS-ENGINE: the DuckDB twin computes ITS total from its own triangle
+    join, so the hash gate still compares two independent implementations)."""
+    from graftlouvain.functions.iterate import materialize
+
     g = _graph(spark, sf)
-    per = triangles_per_vertex(g).select("id", "triangles")
-    n = triangle_list(g).count()
-    total = spark.createDataFrame([(-1, n)], "id long, triangles long")
+    per = materialize(triangles_per_vertex(g).select("id", "triangles"))
+    total = per.agg(
+        F.expr("sum(triangles) div 3").cast("long").alias("triangles")
+    ).select(F.lit(-1).cast("long").alias("id"), "triangles")
     return per.unionAll(total)
 
 

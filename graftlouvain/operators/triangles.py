@@ -46,12 +46,19 @@ def triangle_count(graph: LinkGraph) -> int:
 
 def triangles_per_vertex(graph: LinkGraph) -> DataFrame:
     """Returns [id, triangles] — every vertex of every triangle credited once
-    per triangle; vertices in no triangle get 0."""
+    per triangle; vertices in no triangle get 0.
+
+    The per-triangle credit is ONE ``explode`` over the (a, b, c) array, not
+    a 3-way union of projections: a union references the triangle-join
+    subplan three times and Spark re-executes deterministic subplan
+    references, so the whole wedge enumeration ran 3× (measured 110 s vs
+    ~35 s for a single enumeration on the ~91 %-dense sf0.1 supplier graph,
+    124.5M triangles). The explode credits all three corners in the same
+    pass; partial aggregation then collapses the 3T rows map-side before the
+    V-row shuffle."""
     tris = triangle_list(graph)
-    exploded = (
-        tris.select(F.col("a").alias("id"))
-        .unionByName(tris.select(F.col("b").alias("id")))
-        .unionByName(tris.select(F.col("c").alias("id")))
+    exploded = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("id")
     )
     counts = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
     return (
