@@ -187,6 +187,11 @@ def main() -> None:
         timings[name] = round(statistics.median(walls), 3)
 
     total = round(sum(timings.values()), 3)
+    # Stop the JVM BEFORE printing: executor GC warnings ([warning][gc,alloc]
+    # GCLocker retries, observed under the dense-graph wedge load) share fd 1
+    # and a line landing after the JSON would corrupt the driver's
+    # last-line parse. With Spark stopped, the JSON line is guaranteed last.
+    spark.stop()
     print(
         json.dumps(
             {
