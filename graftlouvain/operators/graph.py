@@ -91,10 +91,31 @@ class LinkGraph:
         if pre_symmetrized:
             sym = e
         else:
-            mirrored = e.where(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight")
+            # ONE pass over the input: each row explodes into itself plus
+            # (for non-self-loops) its mirror. The previous
+            # e.unionByName(mirror-projection) referenced the input subplan
+            # twice, and Spark re-executes deterministic subplan references —
+            # so the entire upstream edge-extraction pipeline (for corpus
+            # graphs: the co-change self-join over commits) ran twice per
+            # build. Same landmine as the triangle corner-credit union;
+            # explode generates both directions map-side in the single scan.
+            fwd = F.struct(
+                F.col("src").alias("src"),
+                F.col("dst").alias("dst"),
+                F.col("weight").alias("weight"),
             )
-            sym = e.unionByName(mirrored)
+            rev = F.struct(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("weight").alias("weight"),
+            )
+            sym = e.select(
+                F.explode(
+                    F.when(F.col("src") == F.col("dst"), F.array(fwd)).otherwise(
+                        F.array(fwd, rev)
+                    )
+                ).alias("_e")
+            ).select("_e.src", "_e.dst", "_e.weight")
         # Repartition on src FIRST: HashPartitioning(src) satisfies the
         # (src, dst) clustering the aggregation needs, so the groupBy runs
         # shuffle-free on top of it — ONE exchange for partition+aggregate
