@@ -30,30 +30,71 @@ def _oriented(graph: LinkGraph) -> DataFrame:
     )
 
 
+def _oriented_with_adjacency(graph: LinkGraph):
+    """(edges_lo, hi_n): oriented edge rows with the LO endpoint's adjacency
+    array already attached, plus the adjacency table keyed on HI for the one
+    remaining join.
+
+    ONE materialized relation: the per-vertex oriented-adjacency table
+    ``adj`` (lineage cut + truthful size stats — it is referenced twice, and
+    the stamped real byte size lets the planner broadcast it when it fits).
+    The oriented EDGE rows are recovered by exploding ``adj`` itself — each
+    (lo, hi) exactly once, the same multiset ``_oriented`` produced — so the
+    edge side needs neither its own materialization nor a join to attach
+    N⁺(lo): the array rides out of the explode. Adjacency arrays are bounded
+    O(√E) per vertex by the degree orientation, so total adjacency bytes =
+    O(E) — the same order as the edge table itself, never a skew bomb."""
+    from graftlouvain.functions.iterate import materialize
+
+    adj = materialize(
+        _oriented(graph)
+        .groupBy("lo")
+        .agg(F.array_sort(F.collect_list("hi")).alias("nbrs"))
+    )
+    edges_lo = adj.select(
+        "lo", F.col("nbrs").alias("_n_lo"), F.explode("nbrs").alias("hi")
+    )
+    hi_n = adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("_n_hi"))
+    return edges_lo, hi_n
+
+
 def triangle_list(graph: LinkGraph) -> DataFrame:
     """Returns each triangle once as [a, b, c] (orientation order).
 
-    The oriented edge list is MATERIALIZED (lineage cut + truthful size
-    stats) before being referenced three times. Without it the orientation
-    join re-executes per reference, and — the expensive part — the closure
-    check plans as a shuffled semi join that partitions the WEDGE relation
-    on (a, c): on the ~91 %-dense sf0.1 supplier graph that is ~1.6e9 wedge
-    rows (~38 GB) written to shuffle to probe a 453k-row edge table.
-    With the real byte size (~7 MB) stamped on the leaf, the static planner
-    broadcasts the edge table on BOTH joins and the wedge relation streams
-    map-side without ever being exchanged (measured: 84 s median with
-    96 s GC-locker-thrashing outliers → ~14 s stable). At scale the same
-    stamped-truthful stats flip the decision back to a shuffle join the
-    moment the oriented list outgrows ``autoBroadcastJoinThreshold`` —
-    size-adaptive by construction, no hand-written threshold."""
-    from graftlouvain.functions.iterate import materialize
+    r6 rewrite (guide §1.2 step 1 — fix the distributed algorithm before the
+    constants): triangles are enumerated by ADJACENCY-ARRAY INTERSECTION
+    instead of the wedge join.  The r5 wedge plan generated every oriented
+    wedge as a ROW — on the ~91 %-dense sf0.1 supplier graph ~1.6e9 rows
+    streamed through two joins and a semi-join probe, and that row machinery
+    (copy, hash, probe per wedge) was the entire 17-24 s cost; the work is
+    unavoidable in wedge COUNT but not in per-wedge row overhead.  Here each
+    oriented edge (a, b) instead carries the sorted oriented-adjacency
+    arrays of its endpoints, and ``array_intersect`` emits exactly the
+    closing vertices c: per edge one O(deg⁺(a) + deg⁺(b)) JVM hash-set
+    intersection, total Σ(deg⁺) over edges = the SAME wedge-count work, but
+    as tight array loops with only the true triangles (124.5M here, not
+    1.6e9 wedges) ever becoming rows.  Triple identity: a triangle with
+    orientation order v₁→v₂→v₃ is found exactly once, at edge (v₁, v₂) with
+    c = v₃ ∈ N⁺(v₁) ∩ N⁺(v₂) — the identical (a, b, c) the wedge
+    formulation emitted (digest-equal, pinned by test).  Vertices with no
+    outgoing oriented edge have no adjacency row; the inner join drops
+    their (·, hi) edges, which lose nothing — a triangle at base (a, b)
+    needs c ∈ N⁺(b), so an empty N⁺(b) contributes no triangles.
 
-    o = materialize(_oriented(graph))
-    e1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    wedges = e1.join(e2, "b")
-    closing = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    return wedges.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")
+    Scale shape: when the adjacency table's stamped size fits the broadcast
+    threshold both attaches are broadcasts and the edge list never shuffles;
+    past it they become shuffle joins moving O(E) rows — the arrays are
+    attached in the probe projection, not carried through an exchange."""
+    edges_lo, hi_n = _oriented_with_adjacency(graph)
+    return (
+        edges_lo.join(hi_n, "hi")
+        .select(
+            F.col("lo").alias("a"),
+            F.col("hi").alias("b"),
+            F.explode(F.array_intersect("_n_lo", "_n_hi")).alias("c"),
+        )
+        .select("a", "b", "c")
+    )
 
 
 def triangle_count(graph: LinkGraph) -> int:
@@ -64,19 +105,40 @@ def triangles_per_vertex(graph: LinkGraph) -> DataFrame:
     """Returns [id, triangles] — every vertex of every triangle credited once
     per triangle; vertices in no triangle get 0.
 
-    The per-triangle credit is ONE ``explode`` over the (a, b, c) array, not
-    a 3-way union of projections: a union references the triangle-join
-    subplan three times and Spark re-executes deterministic subplan
-    references, so the whole wedge enumeration ran 3× (measured 110 s vs
-    ~35 s for a single enumeration on the ~91 %-dense sf0.1 supplier graph,
-    124.5M triangles). The explode credits all three corners in the same
-    pass; partial aggregation then collapses the 3T rows map-side before the
-    V-row shuffle."""
-    tris = triangle_list(graph)
-    exploded = tris.select(
-        F.explode(F.array("a", "b", "c")).alias("id")
+    Fused credit pass over the intersection form (see :func:`triangle_list`):
+    for each oriented edge (a, b) with closing set C = N⁺(a) ∩ N⁺(b), the
+    endpoints a and b are credited |C| with ONE row each and only the top
+    corners c ∈ C are exploded — 2·E + T credit rows instead of the 3·T rows
+    of exploding whole triples (T = 124.5M at sf0.1, so the explode volume
+    drops ~3×); partial aggregation collapses them map-side before the V-row
+    shuffle. Counts are identical: each triangle credits each of its three
+    corners exactly once, exactly as before (digest-pinned)."""
+    edges_lo, hi_n = _oriented_with_adjacency(graph)
+    inter = (
+        edges_lo.join(hi_n, "hi")
+        .select("lo", "hi", F.array_intersect("_n_lo", "_n_hi").alias("cs"))
+        .where(F.size("cs") > 0)
     )
-    counts = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    n = F.size("cs").cast("long")
+    credits = inter.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("lo").alias("id"), n.alias("n")),
+                    F.struct(F.col("hi").alias("id"), n.alias("n")),
+                ),
+                F.transform(
+                    "cs",
+                    lambda c: F.struct(
+                        c.alias("id"), F.lit(1).cast("long").alias("n")
+                    ),
+                ),
+            )
+        ).alias("t")
+    )
+    counts = credits.groupBy(F.col("t.id").alias("id")).agg(
+        F.sum("t.n").alias("triangles")
+    )
     return (
         graph.vertices.join(counts, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
