@@ -63,15 +63,28 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence edges: suppliers sharing an order (src < dst,
     weight = number of sharing lineitem pairs). Mirrors the corpus co-change
-    extractor on star-schema data."""
+    extractor on star-schema data.
+
+    r6: pair generation is ONE groupBy(order).collect_list + a JVM pair
+    explosion (dedup._pairs_of_sorted) instead of the equi self-join — one
+    scan and one narrow shuffle of the lineitem rows replace two scans plus
+    an E-row hash-relation build (broadcast at toy scale, a second full
+    shuffle at real scale). Safe without a group cap here because TPC-H
+    orders carry ≤ 7 lineitems (the corpus-side pairs_by_key keeps its
+    max_group discipline); position pairs of the SORTED multiset filtered to
+    a < b reproduce the self-join's strict-pair multiset exactly —
+    digest-verified identical at sf0.1."""
+    from graftlouvain.operators.dedup import _pairs_of_sorted
+
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
-    return (
-        a.join(b, "k")
-        .where(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    groups = li.groupBy("l_orderkey").agg(F.collect_list("l_suppkey").alias("ids"))
+    pairs = (
+        groups.select(F.explode(_pairs_of_sorted(F.array_sort("ids"))).alias("p"))
+        .select("p.a", "p.b")
+        .where(F.col("a") < F.col("b"))
+    )
+    return pairs.groupBy(F.col("a").alias("src"), F.col("b").alias("dst")).agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
     )
 
 

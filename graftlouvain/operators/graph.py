@@ -44,6 +44,11 @@ class GraphStats:
     num_directed_edges: int  # rows of the symmetrized, pair-aggregated table (ref global_ecount)
     total_weight: float  # S = Σ sym weights = Σ degrees = textbook 2m
     max_out_degree: int = 0  # max adjacency ROW count per vertex (skew signal)
+    # r6: ride the same one-pass stats aggregation so that the singleton
+    # modularity Q₀ = selfw/S − Σk²/S² is pure driver arithmetic — the level
+    # loop previously paid two scalar-aggregate JOBS per level for it
+    sum_degree_sq: float = 0.0  # Σ_v degree(v)² (for singleton modularity)
+    self_loop_weight: float = 0.0  # Σ self-loop weights (counted once)
 
     @property
     def avg_out_degree(self) -> float:
@@ -131,6 +136,14 @@ class LinkGraph:
         degrees = agg.groupBy(F.col("src").alias("id")).agg(
             F.sum("weight").alias("degree"),
             F.count(F.lit(1)).alias("out_degree"),
+            # per-vertex self-loop weight (0.0 for most vertices — adding
+            # exact 0.0 terms leaves the sum unchanged in IEEE); feeds the
+            # job-free singleton-modularity stats below
+            F.sum(
+                F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("self_weight"),
         )
         if cache:
             degrees = degrees.cache()
@@ -140,12 +153,17 @@ class LinkGraph:
         # on the symmetrized table every dst also appears as src, so
         # max_id = max(id), ecount = Σ out_degree, 2m = Σ degree. One job
         # over V rows instead of the previous two jobs (one over E rows).
+        # Σdegree² and Σ self-loop weight ride the same pass, making
+        # ``singleton_modularity`` pure arithmetic (r6 — the Louvain level
+        # loop read it twice per level as scalar jobs).
         row = degrees.agg(
             F.count(F.lit(1)).alias("vcount"),
             F.sum("degree").alias("total_weight"),
             F.max("id").alias("max_id"),
             F.sum("out_degree").alias("ecount"),
             F.max("out_degree").alias("max_out"),
+            F.sum(F.col("degree") * F.col("degree")).alias("deg2"),
+            F.sum("self_weight").alias("self_w"),
         ).first()
         stats = GraphStats(
             num_vertices=int(row["vcount"] or 0),
@@ -153,6 +171,8 @@ class LinkGraph:
             num_directed_edges=int(row["ecount"] or 0),
             total_weight=float(row["total_weight"] or 0.0),
             max_out_degree=int(row["max_out"] or 0),
+            sum_degree_sq=float(row["deg2"] or 0.0),
+            self_loop_weight=float(row["self_w"] or 0.0),
         )
         return cls(edges=agg, degrees=degrees, vertices=vertices, stats=stats)
 

@@ -105,7 +105,8 @@ def modularity(
 
 def singleton_modularity(graph: LinkGraph, reference_convention: bool = False) -> float:
     """Modularity of the all-singletons partition, closed form:
-    Q₀ = Σ_selfloops w / S − Σ_v (k_v/S)². Two scalar aggregations instead of
+    Q₀ = Σ_selfloops w / S − Σ_v (k_v/S)². Zero jobs (both sums ride the
+    from_edges stats pass) instead of
     the two edge⋈assignment joins of the general :func:`modularity` — and
     because coarsening preserves Q exactly (tested to 1e-12),
     ``singleton_modularity(coarsen(g, asg)) == modularity(g, asg)``, which is
@@ -114,16 +115,13 @@ def singleton_modularity(graph: LinkGraph, reference_convention: bool = False) -
     s = 2.0 * graph.two_m if reference_convention else graph.two_m
     if s == 0:
         return 0.0
-    selfw = (
-        graph.edges.where(F.col("src") == F.col("dst"))
-        .agg(F.sum("weight").alias("w"))
-        .first()["w"]
-        or 0.0
-    )
-    sumdeg2 = graph.degrees.agg(
-        F.sum(F.col("degree") * F.col("degree")).alias("d2")
-    ).first()["d2"] or 0.0
-    return float(selfw) / s - float(sumdeg2) / (s * s)
+    # r6: both scalars ride the from_edges stats pass (GraphStats
+    # sum_degree_sq / self_loop_weight) — this call is now pure driver
+    # arithmetic; the level loop previously paid two scalar-aggregate JOBS
+    # per level (plus two at louvain() start) for exactly these numbers.
+    return float(graph.stats.self_loop_weight) / s - float(
+        graph.stats.sum_degree_sq
+    ) / (s * s)
 
 
 # A vertex whose adjacency row count exceeds BOTH bounds triggers salting of
@@ -972,7 +970,19 @@ class LouvainResult:
     assignments: DataFrame  # [id, community] over ORIGINAL vertex ids
     modularity: float
     levels: list  # list[LevelStats]
-    num_communities: int
+    # r6: the distinct-community count is computed LAZILY on first access —
+    # louvain() previously always paid a distinct+count job for a number most
+    # callers (the bench, the driver queries) never read. Same public
+    # ``num_communities`` attribute, same value.
+    _num_communities: int | None = None
+
+    @property
+    def num_communities(self) -> int:
+        if self._num_communities is None:
+            self._num_communities = (
+                self.assignments.select("community").distinct().count()
+            )
+        return self._num_communities
 
     def metrics(self, spark=None) -> DataFrame:
         """Per-superstep metrics table [level, superstep, moves, wall_ms,
@@ -1151,14 +1161,23 @@ def louvain(
             )
             if p_want < int(spark.conf.get("spark.sql.shuffle.partitions")):
                 old = cur
-                cur = LinkGraph.from_edges(
-                    old.edges, num_partitions=p_want, pre_symmetrized=True
+                # r6: the coarse edge table is ALREADY pair-aggregated with
+                # correct degrees/stats — the shrink only needs the edge
+                # cache re-laid-out at p_want partitions, so clone the graph
+                # around a repartitioned cache instead of re-running the full
+                # from_edges aggregate+degrees+stats pipeline (one count job
+                # to force the new cache, vs the old agg+stats job chain).
+                # Degrees/vertices/stats are SHARED with the old graph, so
+                # only the old edge cache is released.
+                new_edges = old.edges.repartition(p_want, "src").cache()
+                new_edges.count()  # force before dropping the old cache
+                cur = LinkGraph(
+                    edges=new_edges,
+                    degrees=old.degrees,
+                    vertices=old.vertices,
+                    stats=old.stats,
                 )
-                # from_edges has materialized the new edge+degree caches (its
-                # stats pass), so the replaced graph's BOTH caches can go —
-                # unpersisting only old.edges leaked one V-row degrees cache
-                # per shrunk level in long multi-level runs (r3 advice).
-                old.unpersist()
+                old.edges.unpersist()
                 spark.conf.set("spark.sql.shuffle.partitions", p_want)
             if checkpointer is not None:
                 checkpointer.save_level(
@@ -1170,7 +1189,6 @@ def louvain(
     finally:
         # the coarse-level shrink scopes this down; always restore
         spark.conf.set("spark.sql.shuffle.partitions", p_orig)
-    n_comm = global_asg.select("community").distinct().count()
     return LouvainResult(
-        assignments=global_asg, modularity=q, levels=level_stats, num_communities=n_comm
+        assignments=global_asg, modularity=q, levels=level_stats
     )
