@@ -157,6 +157,7 @@ def ngram_jaccard_pairs(
     n: int = 8,
     threshold: float = 0.8,
     max_doc_freq: int = 100,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over distinct char n-grams: pairs with J ≥ threshold.
     Grams appearing in more than ``max_doc_freq`` documents are excluded from
@@ -180,9 +181,29 @@ def ngram_jaccard_pairs(
     the same key the collect_list groups by, so the second shuffle's
     partitioning is reused. Output is row-identical to the unfiltered
     formulation (same per-gram pair contributions, no floats involved),
-    so the SQL oracle is unchanged."""
+    so the SQL oracle is unchanged.
+
+    ``eager`` (default, r6): the exploded gram table is CACHED for the
+    evaluation and the result localCheckpoint-pinned before the cache is
+    released — the plan references grams four times (per-doc sizes twice via
+    the join in :func:`_jaccard_from_inter`, the df-count aggregate, and the
+    collect_list input), and only the aggregate exchanges that canonicalize
+    equal are deduplicated by ReuseExchange: without the cache the corpus
+    scan + gram EXPLODE — the dominant map work — re-executes per remaining
+    reference (measured ~3×). Same eager-evaluation contract as
+    :func:`minhash_lsh_pairs`; ``eager=False`` returns the lazy plan."""
     grams = doc_ngrams(docs, id_col, text_col, n)
+    shared_cache = None
+    if eager:
+        shared_cache = grams.cache()
+        grams = shared_cache
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    if eager:
+        from graftlouvain.functions.iterate import materialize
+
+        # referenced twice (a-side and b-side of the jaccard join) — pin the
+        # tiny V-row table so the gram-cache pass behind it runs once
+        sizes = materialize(sizes)
     rare = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -199,7 +220,13 @@ def ngram_jaccard_pairs(
         .select("p.a", "p.b")
     )
     inter = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
-    return _jaccard_from_inter(inter, sizes, threshold)
+    out = _jaccard_from_inter(inter, sizes, threshold)
+    if eager:
+        from graftlouvain.functions.iterate import materialize
+
+        out = materialize(out)
+        shared_cache.unpersist()
+    return out
 
 
 def _md5_pair(col: "F.Column") -> tuple["F.Column", "F.Column"]:
@@ -342,6 +369,16 @@ def minhash_lsh_pairs(
     # would defeat LSH at scale): attach a's rare grams to each candidate
     # pair, then count how many also belong to b.
     rare, sizes = _gram_tables(grams, max_doc_freq)
+    if eager:
+        from graftlouvain.functions.iterate import materialize
+
+        # ``rare`` is referenced on BOTH sides of the intersection join and
+        # ``sizes`` on both sides of the jaccard join; only their
+        # canonically-equal exchanges are deduplicated by ReuseExchange, so
+        # without the pin the df-count aggregate + semi join behind ``rare``
+        # (a full pass over the gram cache) executes twice (r6 measured).
+        rare = materialize(rare)
+        sizes = materialize(sizes)
     ga = cands.join(rare.select(F.col("doc_id").alias("a"), "gram"), "a")
     inter = (
         ga.join(rare.select(F.col("doc_id").alias("b"), "gram"), ["b", "gram"])
