@@ -524,3 +524,31 @@ def test_fused_conflict_superstep_plan_shape(spark):
     assert counts["parity"] == []
     assert len(counts["conflict"]) == 1
     assert "key#" in counts["conflict"][0]  # the window's community-id key
+
+
+@pytest.mark.parametrize(
+    "edges", [FIXTURE_28_W, FIXTURE_KARATE_W, fixture_hub()],
+    ids=["fixture28", "karate", "hub"],
+)
+def test_view_sql_conflict_superstep_equivalent(spark, edges):
+    """r6: the production loop's temp-view SQL fast path (the whole fused
+    conflict superstep as one spark.sql statement over views of the edge
+    cache and the checkpointed state) is byte-identical to the DataFrame
+    builder — the physical plan is operator-for-operator the same (verified
+    at sf0.1: 11 Exchange / 4 BroadcastHashJoin / 1 Window in both), so this
+    pins labels, superstep count, and the per-superstep move sequence across
+    the two builders."""
+    from graftlouvain.operators import louvain as L
+
+    g = LinkGraph.from_edges(to_df(spark, edges))
+    prev = L._USE_VIEW_SQL
+    try:
+        L._USE_VIEW_SQL = True
+        a1, s1 = louvain_level(g)
+        L._USE_VIEW_SQL = False
+        a2, s2 = louvain_level(g)
+    finally:
+        L._USE_VIEW_SQL = prev
+    assert _labels(a1) == _labels(a2)
+    assert s1.supersteps == s2.supersteps
+    assert s1.moves == s2.moves
