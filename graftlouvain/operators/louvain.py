@@ -283,10 +283,19 @@ def _community_totals(state: DataFrame) -> DataFrame:
 # dead one (one extra py4j property read per call — noise vs the ~60 saved).
 _SS_EXPRS: dict = {}
 
-# monotonically-unique suffix for the per-run temp views of the SQL
-# superstep fast path (louvain_level) — avoids collisions between
-# interleaved louvain runs on one session
-_VIEW_SEQ = 0
+# FIXED view names for the SQL superstep fast path (louvain_level),
+# re-registered (createOrReplaceTempView) per run / per superstep and NEVER
+# dropped: ``dropTempView`` runs a CASCADING uncacheQuery that evicts every
+# cache entry appearing as a subtree of the view's plan — including the
+# EDGE CACHE — after which every later superstep re-executes the whole
+# edge-build pipeline (measured: level-0 supersteps 0.7 s → 2-3 s on the
+# run after the first drop; replacement, by contrast, measured
+# cache-neutral). One replaced view pair per session is the whole catalog
+# footprint. Concurrent louvain runs on one session would collide on the
+# names — the same already-documented single-driver constraint as the
+# session-global shuffle-partition scope-down in louvain().
+_E_VIEW = "_glouvain_edges"
+_ST_VIEW = "_glouvain_state"
 
 # A/B + safety valve for the SQL fast path (the physical plan is verified
 # identical to the DataFrame builder's, so this only gates the ~2× cheaper
@@ -928,17 +937,14 @@ def louvain_level(
         and _auto_salt(graph) == 1
     )
     spark_sess = graph.edges.sparkSession
-    e_view = st_view = None
     if view_sql:
-        global _VIEW_SEQ
-        _VIEW_SEQ += 1
-        e_view, st_view = f"_glouvain_e{_VIEW_SEQ}", f"_glouvain_s{_VIEW_SEQ}"
-        graph.edges.createOrReplaceTempView(e_view)
+        # fixed names, REPLACED not dropped — see the _E_VIEW comment above
+        graph.edges.createOrReplaceTempView(_E_VIEW)
         S_lit, EPS_lit = _sql_consts(graph, gain_eps)
         conflict_q = (
             "WITH "
-            + _superstep_cte("0", st_view, 0, S_lit, EPS_lit, gate="conflict").replace(
-                "{E}", e_view
+            + _superstep_cte("0", _ST_VIEW, 0, S_lit, EPS_lit, gate="conflict").replace(
+                "{E}", _E_VIEW
             )
             + "\nSELECT * FROM out0"
         )
@@ -997,7 +1003,7 @@ def louvain_level(
             elif view_sql:
                 # fused conflict gate as ONE spark.sql statement over temp
                 # views (see the view_sql comment above the loop)
-                state.createOrReplaceTempView(st_view)
+                state.createOrReplaceTempView(_ST_VIEW)
                 new_state = spark_sess.sql(conflict_q)
                 state_m, counts = swap_observed_multi(state, new_state, ["_moved"])
             else:
@@ -1024,12 +1030,6 @@ def louvain_level(
                     )
                 zero_streak = zero_streak + 1 if n_moves <= move_slack else 0
             step += len(counts)
-    if view_sql:
-        for v in (e_view, st_view):
-            try:
-                spark_sess.catalog.dropTempView(v)
-            except Exception:
-                pass
     result = state.select("id", "community")
     if extra is not None:
         result = result.unionByName(extra)
@@ -1278,6 +1278,11 @@ def louvain(
     finally:
         # the coarse-level shrink scopes this down; always restore
         spark.conf.set("spark.sql.shuffle.partitions", p_orig)
+        # r6: release the LAST coarse graph's edge+degree caches — every run
+        # previously leaked one cache pair per exit path until JVM GC (the
+        # returned assignments are checkpoint-backed, never cur-backed)
+        if cur is not graph:
+            cur.unpersist()
     return LouvainResult(
         assignments=global_asg, modularity=q, levels=level_stats
     )
