@@ -51,8 +51,26 @@ def materialize(df: DataFrame) -> DataFrame:
     return ck
 
 
+STATE_SHUFFLE_TARGET_ROWS = 32_768
+
+
+def state_partitions(spark: SparkSession, n_rows: int) -> int:
+    """Row-proportional shuffle-partition count for the V-row STATE side of
+    an iterative operator: ~``STATE_SHUFFLE_TARGET_ROWS`` rows per partition,
+    floored at 4, capped at the session's current setting (so a real cluster
+    keeps its configured parallelism and only tiny states shrink). The same
+    policy the Louvain coarse-level shrink has applied since r3, extended to
+    every fixpoint loop (r6): with AQE off inside the loops (below), nothing
+    else coalesces the near-empty state shuffles, and the per-superstep task
+    floor — p tasks for the state exchange plus p per broadcast-subplan
+    stage — dominates small-state levels. Edge-side parallelism is untouched
+    (the edge cache keeps its build-time partitioning)."""
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(p, -(-max(n_rows, 1) // STATE_SHUFFLE_TARGET_ROWS)))
+
+
 @contextmanager
-def superstep_planning(spark: SparkSession):
+def superstep_planning(spark: SparkSession, shuffle_partitions: int | None = None):
     """Disable AQE inside tight superstep loops (restoring it afterwards).
 
     AQE re-optimizes after every shuffle stage — several driver round-trips
@@ -62,14 +80,25 @@ def superstep_planning(spark: SparkSession):
     statistics (``materialize``), the static planner already makes the right
     broadcast/shuffle choices, so AQE buys nothing inside the loop. Ad-hoc
     relational queries keep AQE (skew-join splitting, coalescing) — this
-    scope only covers the superstep bodies."""
+    scope only covers the superstep bodies.
+
+    ``shuffle_partitions`` (r6) additionally scopes the session
+    shuffle-partition count for the loop body — pass
+    :func:`state_partitions`'s row-proportional value so V-row state
+    shuffles stop scheduling one near-empty task per session partition
+    (results are partition-invariant; pinned by the cross-parallelism
+    determinism suite and per-operator digest checks)."""
     conf = spark.conf
     prev = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_p = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.adaptive.enabled", "false")
+    if shuffle_partitions is not None and shuffle_partitions < int(prev_p):
+        conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
     try:
         yield
     finally:
         conf.set("spark.sql.adaptive.enabled", prev)
+        conf.set("spark.sql.shuffle.partitions", prev_p)
 
 
 def swap(old: DataFrame | None, new: DataFrame) -> DataFrame:

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, superstep_planning, swap_observed
+from graftlouvain.functions.iterate import (
+    materialize,
+    state_partitions,
+    superstep_planning,
+    swap_observed,
+)
 from graftlouvain.operators.graph import LinkGraph
 
 
@@ -24,7 +29,8 @@ def components(graph: LinkGraph, max_iter: int = 200) -> DataFrame:
     Convergence: min-label only decreases, so ``changed`` =
     Σ[new < old], computed as an observed metric during the state
     materialization itself — no old⋈new comparison join per superstep."""
-    with superstep_planning(graph.edges.sparkSession):
+    spark = graph.edges.sparkSession
+    with superstep_planning(spark, state_partitions(spark, graph.stats.num_vertices)):
         labels = materialize(graph.vertices.select("id", F.col("id").alias("component")))
         for _i in range(max_iter):
             nbr_min = (

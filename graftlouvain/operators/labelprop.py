@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, superstep_planning, swap_observed
+from graftlouvain.functions.iterate import (
+    materialize,
+    state_partitions,
+    superstep_planning,
+    swap_observed,
+)
 from graftlouvain.operators.graph import LinkGraph
 
 
@@ -26,7 +31,8 @@ def label_propagation(graph: LinkGraph, max_iter: int = 5) -> DataFrame:
     hash-aggregate argmax (max_by over (w, −l) — no sort; ties → smallest
     label), and one observed-metric materialization (changed-count read during
     the same pass, no comparison join)."""
-    with superstep_planning(graph.edges.sparkSession):
+    spark = graph.edges.sparkSession
+    with superstep_planning(spark, state_partitions(spark, graph.stats.num_vertices)):
         labels = materialize(graph.vertices.select("id", F.col("id").alias("label")))
         for _i in range(max_iter):
             weighted = (

@@ -948,7 +948,17 @@ def louvain_level(
             )
             + "\nSELECT * FROM out0"
         )
-    with superstep_planning(graph.edges.sparkSession):
+    # r6: scope the loop's shuffle partitions to the STATE size (the only
+    # per-superstep exchange is the ≤2V-row gate window, and every broadcast
+    # subplan stage runs at the state checkpoint's partition count) — the
+    # coarse-shrink row-proportional policy extended to every level. Edge
+    # parallelism is untouched (the cache keeps its build-time layout).
+    # Labels are partition-invariant (cross-parallelism suite + digest).
+    from graftlouvain.functions.iterate import state_partitions
+
+    with superstep_planning(
+        spark_sess, state_partitions(spark_sess, 2 * graph.stats.num_vertices)
+    ):
         # level-loop state = [id, community, k_i]: the degree is joined in
         # ONCE here and then rides through every superstep projection, so the
         # loop never shuffles graph.degrees again.

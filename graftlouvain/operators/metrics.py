@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, superstep_planning, swap_observed
+from graftlouvain.functions.iterate import (
+    materialize,
+    state_partitions,
+    superstep_planning,
+    swap_observed,
+)
 from graftlouvain.operators.graph import LinkGraph
 
 
@@ -94,7 +99,8 @@ def kcore(graph: LinkGraph, k: int, rounds: int | None = None) -> DataFrame:
     if k < 1:
         raise ValueError("kcore requires k >= 1 (k=0 is the full vertex set)")
     sym = graph.edges.where(F.col("src") != F.col("dst")).select("src", "dst")
-    with superstep_planning(graph.edges.sparkSession):
+    spark = graph.edges.sparkSession
+    with superstep_planning(spark, state_partitions(spark, graph.stats.num_vertices)):
         alive = materialize(graph.vertices.select("id"))
         n_alive = graph.stats.num_vertices
         max_rounds = rounds if rounds is not None else max(n_alive, 1)

@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, superstep_planning, swap
+from graftlouvain.functions.iterate import (
+    materialize,
+    state_partitions,
+    superstep_planning,
+    swap,
+)
 from graftlouvain.operators.graph import LinkGraph
 
 
@@ -131,7 +136,7 @@ def pagerank(
             (F.lit(base) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias("rank"),
         )
 
-    with superstep_planning(graph.edges.sparkSession):
+    with superstep_planning(spark, state_partitions(spark, V)):
         ranks = materialize(start)
         if n_iter is not None:
             done = 0

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graftlouvain.functions.iterate import materialize, superstep_planning
+from graftlouvain.functions.iterate import materialize, state_partitions, superstep_planning
 from graftlouvain.operators.graph import LinkGraph
 
 
@@ -48,7 +48,8 @@ def bfs_distances(
         sources.select("seed", F.col("seed").alias("id"), F.lit(0).alias("dist"))
     )
     edges = graph.edges.where(F.col("src") != F.col("dst")).select("src", "dst")
-    with superstep_planning(graph.edges.sparkSession):
+    spark = graph.edges.sparkSession
+    with superstep_planning(spark, state_partitions(spark, graph.stats.num_vertices)):
         for _ in range(max_depth):
             hop = (
                 dist.join(edges, dist["id"] == edges["src"])
@@ -84,7 +85,8 @@ def sssp_distances(
     edges = graph.edges.where(F.col("src") != F.col("dst")).select(
         "src", "dst", "weight"
     )
-    with superstep_planning(graph.edges.sparkSession):
+    spark = graph.edges.sparkSession
+    with superstep_planning(spark, state_partitions(spark, graph.stats.num_vertices)):
         for _ in range(max_rounds):
             hop = dist.join(edges, dist["id"] == edges["src"]).select(
                 "seed",
