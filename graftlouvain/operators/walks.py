@@ -50,6 +50,28 @@ def _union_frames(frames: list, eager: bool) -> DataFrame:
     return out
 
 
+def _walk_scope(graph: LinkGraph, walks_per_vertex: int, eager: bool):
+    """r6: scope AQE off + row-proportional shuffle partitions around the
+    eager walk loops (the per-hop materializations otherwise each pay AQE's
+    near-constant re-optimization cost, and the frontier-sized state
+    shuffles schedule one near-empty task per session partition — the same
+    policy every fixpoint operator now applies via superstep_planning).
+    Lazy callers get a no-op scope: their plan executes later, outside."""
+    from contextlib import nullcontext
+
+    if not eager:
+        return nullcontext()
+    from graftlouvain.functions.iterate import state_partitions, superstep_planning
+
+    spark = graph.edges.sparkSession
+    return superstep_planning(
+        spark,
+        state_partitions(
+            spark, graph.stats.num_vertices * max(walks_per_vertex, 1)
+        ),
+    )
+
+
 def _choice_hash(tag: "F.Column") -> "F.Column":
     """60-bit nonnegative integer from md5(tag) — first 15 hex chars, the
     cross-engine-exact parse (dedup._md5_pair convention)."""
@@ -70,7 +92,7 @@ def indexed_neighbors(graph: LinkGraph) -> DataFrame:
     return idx.join(deg, "dst").select("src", "idx", "dst", "dst_deg")
 
 
-def random_walks(
+def _random_walks_impl(
     graph: LinkGraph,
     length: int = 4,
     walks_per_vertex: int = 1,
@@ -179,7 +201,7 @@ def indexed_neighbors_weighted(graph: LinkGraph, scale: int = 1) -> DataFrame:
     return e.join(dst_tot, "dst").select("src", "lo", "hi", "dst", "dst_totw")
 
 
-def weighted_random_walks(
+def _weighted_random_walks_impl(
     graph: LinkGraph,
     length: int = 4,
     walks_per_vertex: int = 1,
@@ -250,7 +272,7 @@ def weighted_random_walks(
     return _union_frames(frames, eager)
 
 
-def node2vec_walks(
+def _node2vec_walks_impl(
     graph: LinkGraph,
     length: int = 4,
     walks_per_vertex: int = 1,
@@ -369,6 +391,52 @@ def node2vec_walks(
             )
         )
     return _union_frames(frames, eager)
+
+
+def random_walks(
+    graph: LinkGraph,
+    length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    eager: bool = True,
+) -> DataFrame:
+    """See :func:`_random_walks_impl`; runs under :func:`_walk_scope`."""
+    with _walk_scope(graph, walks_per_vertex, eager):
+        return _random_walks_impl(graph, length, walks_per_vertex, seed, eager)
+
+
+def weighted_random_walks(
+    graph: LinkGraph,
+    length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    scale: int = 1,
+    eager: bool = True,
+) -> DataFrame:
+    """See :func:`_weighted_random_walks_impl`; runs under :func:`_walk_scope`."""
+    with _walk_scope(graph, walks_per_vertex, eager):
+        return _weighted_random_walks_impl(
+            graph, length, walks_per_vertex, seed, scale, eager
+        )
+
+
+def node2vec_walks(
+    graph: LinkGraph,
+    length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    bias_return: int = 1,
+    bias_near: int = 4,
+    bias_far: int = 8,
+    scale: int = 1,
+    eager: bool = True,
+) -> DataFrame:
+    """See :func:`_node2vec_walks_impl`; runs under :func:`_walk_scope`."""
+    with _walk_scope(graph, walks_per_vertex, eager):
+        return _node2vec_walks_impl(
+            graph, length, walks_per_vertex, seed,
+            bias_return, bias_near, bias_far, scale, eager,
+        )
 
 
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
