@@ -39,8 +39,13 @@ def one_trial(cpus: int) -> dict:
 
 
 def main() -> None:
-    pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    start = 32 if "--start" in sys.argv and "32" in sys.argv else 8
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pairs", type=int, nargs="?", default=3)
+    ap.add_argument("--start", type=int, choices=(8, 32), default=8)
+    args = ap.parse_args()
+    pairs, start = args.pairs, args.start
     order = [start, 40 - start] * pairs  # 8<->32 alternation
     trials: dict[int, list[dict]] = {8: [], 32: []}
     for i, cpus in enumerate(order):

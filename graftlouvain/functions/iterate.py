@@ -52,6 +52,9 @@ def materialize(df: DataFrame) -> DataFrame:
 
 
 STATE_SHUFFLE_TARGET_ROWS = 32_768
+# conservative in-memory bytes per skinny state row (UnsafeRow with 2-3
+# numeric columns + null bitset + overhead) for the broadcast-regime guard
+STATE_ROW_BYTES_EST = 48
 
 
 def state_partitions(spark: SparkSession, n_rows: int) -> int:
@@ -64,8 +67,23 @@ def state_partitions(spark: SparkSession, n_rows: int) -> int:
     else coalesces the near-empty state shuffles, and the per-superstep task
     floor — p tasks for the state exchange plus p per broadcast-subplan
     stage — dominates small-state levels. Edge-side parallelism is untouched
-    (the edge cache keeps its build-time partitioning)."""
+    (the edge cache keeps its build-time partitioning).
+
+    BROADCAST-REGIME GUARD (r6 review): the "only state-sized shuffles
+    happen inside the loop" premise holds only while the materialized state
+    BROADCASTS into the edge-side joins; past the session's broadcast
+    threshold those joins plan as shuffle joins moving E rows, which must
+    keep the cluster's full parallelism — so states whose conservative size
+    estimate (``STATE_ROW_BYTES_EST``/row) reaches the threshold get the
+    session setting unchanged. Estimating high errs toward full
+    parallelism, the safe direction on both sides of the boundary."""
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        bcast_limit = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        bcast_limit = 10 * 1024 * 1024
+    if bcast_limit <= 0 or n_rows * STATE_ROW_BYTES_EST >= bcast_limit:
+        return p
     return max(4, min(p, -(-max(n_rows, 1) // STATE_SHUFFLE_TARGET_ROWS)))
 
 

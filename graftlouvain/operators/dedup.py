@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graftlouvain.operators.textstats import WS_RE as _WS_RE
+from graftlouvain.functions.iterate import materialize as _materialize
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -199,11 +200,9 @@ def ngram_jaccard_pairs(
         grams = shared_cache
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     if eager:
-        from graftlouvain.functions.iterate import materialize
-
         # referenced twice (a-side and b-side of the jaccard join) — pin the
         # tiny V-row table so the gram-cache pass behind it runs once
-        sizes = materialize(sizes)
+        sizes = _materialize(sizes)
     rare = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -222,9 +221,7 @@ def ngram_jaccard_pairs(
     inter = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
     out = _jaccard_from_inter(inter, sizes, threshold)
     if eager:
-        from graftlouvain.functions.iterate import materialize
-
-        out = materialize(out)
+        out = _materialize(out)
         shared_cache.unpersist()
     return out
 
@@ -368,17 +365,29 @@ def minhash_lsh_pairs(
     # O(candidates × grams/doc), never the all-pairs gram self-join (which
     # would defeat LSH at scale): attach a's rare grams to each candidate
     # pair, then count how many also belong to b.
-    rare, sizes = _gram_tables(grams, max_doc_freq)
     if eager:
-        from graftlouvain.functions.iterate import materialize
-
         # ``rare`` is referenced on BOTH sides of the intersection join and
         # ``sizes`` on both sides of the jaccard join; only their
         # canonically-equal exchanges are deduplicated by ReuseExchange, so
-        # without the pin the df-count aggregate + semi join behind ``rare``
-        # (a full pass over the gram cache) executes twice (r6 measured).
-        rare = materialize(rare)
-        sizes = materialize(sizes)
+        # without a pin the df-count aggregate behind ``rare`` (a full pass
+        # over the gram cache) executes twice (r6 measured). Pin the
+        # per-GRAM keep list (one row per surviving gram) rather than the
+        # doc-gram-scale ``rare`` table itself: the keep list is orders of
+        # magnitude smaller than the exploded corpus, so eager mode never
+        # holds a second gram-scale copy in storage (r6 review) — the two
+        # remaining semi probes run against the shared gram cache.
+        sizes = _materialize(
+            grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+        )
+        keep = _materialize(
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("gram")
+        )
+        rare = grams.join(keep, "gram", "left_semi")
+    else:
+        rare, sizes = _gram_tables(grams, max_doc_freq)
     ga = cands.join(rare.select(F.col("doc_id").alias("a"), "gram"), "a")
     inter = (
         ga.join(rare.select(F.col("doc_id").alias("b"), "gram"), ["b", "gram"])
@@ -387,9 +396,7 @@ def minhash_lsh_pairs(
     )
     out = _jaccard_from_inter(inter, sizes, threshold)
     if eager and verify_exact:
-        from graftlouvain.functions.iterate import materialize
-
-        out = materialize(out)  # one pass, computed via the shared gram cache
+        out = _materialize(out)  # one pass, computed via the shared gram cache
         shared_cache.unpersist()  # real release — the cache, not a checkpoint
     return out
 

@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 
 from graftlouvain.functions.iterate import (
     materialize,
+    state_partitions,
     superstep_planning,
     swap,
     swap_observed_multi,
@@ -954,8 +955,6 @@ def louvain_level(
     # coarse-shrink row-proportional policy extended to every level. Edge
     # parallelism is untouched (the cache keeps its build-time layout).
     # Labels are partition-invariant (cross-parallelism suite + digest).
-    from graftlouvain.functions.iterate import state_partitions
-
     with superstep_planning(
         spark_sess, state_partitions(spark_sess, 2 * graph.stats.num_vertices)
     ):
@@ -1040,6 +1039,16 @@ def louvain_level(
                     )
                 zero_streak = zero_streak + 1 if n_moves <= move_slack else 0
             step += len(counts)
+    if view_sql:
+        # release what the views pin (the last state's checkpoint RDD and
+        # the edge plan) by REPLACING them with an empty relation —
+        # replacement is cache-neutral, unlike dropTempView's cascading
+        # uncache (see _E_VIEW comment)
+        for v in (_E_VIEW, _ST_VIEW):
+            try:
+                spark_sess.range(0).createOrReplaceTempView(v)
+            except Exception:
+                pass
     result = state.select("id", "community")
     if extra is not None:
         result = result.unionByName(extra)

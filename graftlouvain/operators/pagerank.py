@@ -61,33 +61,7 @@ def pagerank(
     if V == 0:
         return graph.vertices.select("id", F.lit(0.0).alias("rank"))
     out_w = graph.degrees.select(F.col("id").alias("src"), F.col("degree").alias("out_w"))
-    # pre-divide edge weights once: share(u,v) = w/outw(u). LAYOUT IS
-    # SIZE-ADAPTIVE (r6, guide §2.4): while the V-row rank table fits the
-    # broadcast threshold (the planner broadcasts it into the shares join
-    # either way), laying shares out by DST makes the per-iteration
-    # groupBy(dst) aggregation exchange-free — the E-row contrib exchange,
-    # the only per-iteration shuffle, disappears (measured 6.3 s → 2.8 s
-    # for 10 iterations at sf0.1/local[32], rounded digest identical; the
-    # 6-dp output rounding absorbs the partial-sum reordering exactly as it
-    # absorbs the DuckDB twin's different summation order). Past the
-    # broadcast regime the src layout is kept: there the ranks join must
-    # co-partition on src, and a dst layout would re-shuffle the E-row
-    # shares EVERY iteration instead of once at build — the regime that
-    # actually matters at 100 TB. The threshold is derived from the
-    # session's own autoBroadcastJoinThreshold, not a local constant.
     spark = graph.edges.sparkSession
-    try:
-        bcast_limit = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    except Exception:
-        bcast_limit = 10 * 1024 * 1024
-    ranks_bytes_est = V * 32  # id + rank + row overhead, conservative
-    dst_layout = 0 < ranks_bytes_est < bcast_limit
-    shares = graph.edges.join(out_w, "src").select(
-        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
-    )
-    if dst_layout:
-        shares = shares.repartition("dst")
-    shares = shares.cache()
     if seeds is not None:
         # seeds outside the graph carry no walk mass — intersect first so the
         # teleport normalizer matches the effective seed set
@@ -136,8 +110,50 @@ def pagerank(
             (F.lit(base) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias("rank"),
         )
 
+    # the shares table is E-row, so its partition count is captured from the
+    # session BEFORE the loop's state-proportional scope-down (r6 review: a
+    # lazy repartition("dst") resolved inside the scope would build the
+    # E-row cache at the V-proportional count, collapsing edge parallelism)
+    p_session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        bcast_limit = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        bcast_limit = 10 * 1024 * 1024
     with superstep_planning(spark, state_partitions(spark, V)):
         ranks = materialize(start)
+        # LAYOUT IS SIZE-ADAPTIVE (r6, guide §2.4): while the V-row rank
+        # table broadcasts into the shares join (the planner decides that
+        # from the materialized state's STAMPED size, so the decision here
+        # reads the same stamped number, with a 2× safety margin against
+        # per-iteration stamp jitter), laying shares out by DST makes the
+        # per-iteration groupBy(dst) aggregation exchange-free — the
+        # per-iteration shuffles disappear entirely (executed-plan walk:
+        # 2 ShuffleExchange nodes → 0; measured 6.3 s → 2.8 s for 10
+        # iterations at sf0.1/local[32], rounded digest identical — the
+        # 6-dp output rounding absorbs the partial-sum reordering exactly
+        # as it absorbs the DuckDB twin's different summation order).
+        # Past the broadcast regime the src layout is kept: there the
+        # ranks join must co-partition on src, and a dst layout would
+        # re-shuffle the E-row shares EVERY iteration instead of once at
+        # build — the regime that actually matters at 100 TB.
+        try:
+            ranks_stamped = int(
+                str(
+                    ranks._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            ranks_stamped = V * 48
+        dst_layout = bcast_limit > 0 and 2 * ranks_stamped <= bcast_limit
+        shares = graph.edges.join(out_w, "src").select(
+            "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
+        )
+        if dst_layout:
+            shares = shares.repartition(p_session, "dst")
+        shares = shares.cache()
         if n_iter is not None:
             done = 0
             while done < n_iter:

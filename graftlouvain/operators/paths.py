@@ -49,7 +49,12 @@ def bfs_distances(
     )
     edges = graph.edges.where(F.col("src") != F.col("dst")).select("src", "dst")
     spark = graph.edges.sparkSession
-    with superstep_planning(spark, state_partitions(spark, graph.stats.num_vertices)):
+    # frontier rows are (#sources x V), not V (r6 review) - sources are tiny
+    # by contract (sampled seeds), so counting them is one trivial job
+    n_src = max(sources.count(), 1)
+    with superstep_planning(
+        spark, state_partitions(spark, n_src * graph.stats.num_vertices)
+    ):
         for _ in range(max_depth):
             hop = (
                 dist.join(edges, dist["id"] == edges["src"])
@@ -86,7 +91,12 @@ def sssp_distances(
         "src", "dst", "weight"
     )
     spark = graph.edges.sparkSession
-    with superstep_planning(spark, state_partitions(spark, graph.stats.num_vertices)):
+    # frontier rows are (#sources x V), not V (r6 review) - sources are tiny
+    # by contract (sampled seeds), so counting them is one trivial job
+    n_src = max(sources.count(), 1)
+    with superstep_planning(
+        spark, state_partitions(spark, n_src * graph.stats.num_vertices)
+    ):
         for _ in range(max_rounds):
             hop = dist.join(edges, dist["id"] == edges["src"]).select(
                 "seed",
